@@ -1,0 +1,233 @@
+"""Core engine semantics: tiling, window, AWGN, dtype restore, metrics.
+
+Each test pins the behavior to the reference implementation's documented
+semantics (file:line cites in the module under test)."""
+
+import numpy as np
+import pytest
+
+from tpuir.core.tiling import tile_indices, gaussian_window
+from tpuir.core.degrade import add_gaussian_noise, add_noise_batched, gaussian_noise_field
+from tpuir.core.image_io import normalize_image, restore_dtype
+from tpuir.core.metrics import psnr, ssim, calculate_metrics
+from tpuir.core.engine import InferenceModel, run_model_inference
+
+
+def ref_tile_lists(h, w, patch_size, patch_overlap):
+    # The KAIR formula from /root/reference/src/utils.py:384-392, restated.
+    if patch_size:
+        patch_size = min(patch_size, max(h, w))
+        stride = max(patch_size - patch_overlap, 1)
+        h_idx_list = list(range(0, h - patch_size, stride)) + [max(h - patch_size, 0)]
+        w_idx_list = list(range(0, w - patch_size, stride)) + [max(w - patch_size, 0)]
+    else:
+        patch_size = max(h, w)
+        h_idx_list, w_idx_list = [0], [0]
+    return patch_size, h_idx_list, w_idx_list
+
+
+@pytest.mark.parametrize(
+    "h,w,ps,ov",
+    [
+        (321, 481, 128, 32),
+        (256, 256, 256, 48),
+        (100, 700, 256, 48),
+        (64, 64, 128, 32),
+        (500, 333, 256, 48),
+        (30, 30, 128, 32),
+    ],
+)
+def test_tile_indices_match_reference(h, w, ps, ov):
+    assert tile_indices(h, w, ps, ov) == ref_tile_lists(h, w, ps, ov)
+    # Uniform patch shape invariant that the batched engine relies on.
+    eff, his, wis = tile_indices(h, w, ps, ov)
+    heights = {min(eff, h - hi) for hi in his}
+    widths = {min(eff, w - wi) for wi in wis}
+    assert len(heights) == 1 and len(widths) == 1
+    # Full coverage.
+    cov = np.zeros((h, w), dtype=bool)
+    for hi in his:
+        for wi in wis:
+            cov[hi : hi + eff, wi : wi + eff] = True
+    assert cov.all()
+
+
+def test_gaussian_window_matches_reference_formula():
+    hgt, wid, c = 37, 53, 3
+    y, x = np.meshgrid(np.arange(hgt), np.arange(wid), indexing="ij")
+    sy, sx = hgt * 0.125, wid * 0.125
+    expected = np.exp(
+        -((y - hgt / 2.0) ** 2 / (2 * sy**2) + (x - wid / 2.0) ** 2 / (2 * sx**2))
+    )
+    expected = np.repeat(expected[:, :, None], c, axis=2).astype(np.float32)
+    got = gaussian_window(hgt, wid, c)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-7)
+
+
+def test_awgn_bit_exact_vs_reference_semantics():
+    rng = np.random.RandomState(123)
+    img = rng.rand(17, 23, 3).astype(np.float32)
+    # Reference implementation restated (utils.py:29-36).
+    ref = img.copy()
+    np.random.seed(0)
+    ref = ref + 0  # copy
+    tmp = img.copy()
+    np.random.seed(0)
+    tmp += np.random.normal(0, 25 / 255.0, tmp.shape)
+    expected = np.clip(tmp, 0, 1).astype(np.float32)
+    got = add_gaussian_noise(img, 25)
+    np.testing.assert_array_equal(got, expected)
+
+    # uint8 input path
+    img8 = (rng.rand(9, 11, 1) * 255).astype(np.uint8)
+    tmp = img8.astype(np.float32) / 255.0
+    np.random.seed(0)
+    tmp += np.random.normal(0, 15 / 255.0, tmp.shape)
+    expected8 = np.clip(tmp, 0, 1).astype(np.float32)
+    np.testing.assert_array_equal(add_gaussian_noise(img8, 15), expected8)
+
+
+def test_batched_awgn_equals_per_patch():
+    rng = np.random.RandomState(7)
+    patches = rng.rand(5, 16, 16, 3).astype(np.float32)
+    batched = add_noise_batched(patches, 50)
+    for i in range(5):
+        np.testing.assert_array_equal(batched[i], add_gaussian_noise(patches[i], 50))
+
+
+def test_noise_field_is_mt19937_seed0():
+    np.random.seed(0)
+    expected = np.random.normal(0, 15 / 255.0, (4, 5, 3))
+    np.testing.assert_array_equal(gaussian_noise_field((4, 5, 3), 15), expected)
+
+
+def test_normalize_and_restore_dtype():
+    img8 = np.array([[[0], [128]], [[255], [7]]], dtype=np.uint8)
+    n = normalize_image(img8)
+    assert n.dtype == np.float32 and n.max() == 1.0
+    back = restore_dtype(n, img8)
+    np.testing.assert_array_equal(back, img8)
+
+    img16 = (np.arange(12).reshape(2, 2, 3) * 5000).astype(np.uint16)
+    n16 = normalize_image(img16)
+    np.testing.assert_array_equal(restore_dtype(n16, img16), img16)
+
+    # float path: scaled by max when > 1
+    imgf = np.array([[2.0, 4.0]], dtype=np.float32)
+    nf = normalize_image(imgf)
+    np.testing.assert_allclose(nf, [[0.5, 1.0]])
+
+
+def test_psnr_matches_formula():
+    a = np.array([[0, 255], [128, 64]], dtype=np.uint8)
+    b = np.array([[1, 254], [126, 66]], dtype=np.uint8)
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    assert abs(psnr(a, b, 255) - 10 * np.log10(255**2 / mse)) < 1e-12
+
+
+def test_ssim_identical_images():
+    img = (np.random.RandomState(0).rand(32, 32) * 255).astype(np.uint8)
+    assert abs(ssim(img, img, 255) - 1.0) < 1e-12
+
+
+def test_ssim_against_skimage_if_available():
+    skimage = pytest.importorskip("skimage.metrics")
+    rng = np.random.RandomState(1)
+    a = (rng.rand(48, 40) * 255).astype(np.uint8)
+    b = np.clip(a.astype(int) + rng.randint(-20, 20, a.shape), 0, 255).astype(np.uint8)
+    ref = skimage.structural_similarity(a, b, data_range=255)
+    assert abs(ssim(a, b, 255) - ref) < 1e-10
+
+
+def test_calculate_metrics_dispatch():
+    rng = np.random.RandomState(2)
+    color = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    noisy = np.clip(color.astype(int) + rng.randint(-10, 10, color.shape), 0, 255).astype(
+        np.uint8
+    )
+    p, s = calculate_metrics(noisy, color)
+    assert 20 < p < 50 and 0 < s < 1
+    gray = color[:, :, :1]
+    p2, s2 = calculate_metrics(gray, gray)
+    assert p2 == float("inf") and abs(s2 - 1) < 1e-12
+
+
+def _identity_model(patch_size=64, patch_overlap=16, **kw):
+    return InferenceModel(
+        name="identity",
+        apply_fn=lambda params, x: x,
+        params=(),
+        patch_size=patch_size,
+        patch_overlap=patch_overlap,
+        **kw,
+    )
+
+
+def test_engine_identity_roundtrip_uint8():
+    rng = np.random.RandomState(3)
+    img = (rng.rand(150, 130, 3) * 255).astype(np.uint8)
+    out, ms = run_model_inference(_identity_model(), img)
+    # Identity model + blend-stitch must reproduce the input exactly after
+    # dtype rounding.
+    np.testing.assert_array_equal(out, img)
+    assert ms > 0
+
+
+def test_engine_identity_small_image():
+    # Image smaller than the patch size in one/both dims.
+    rng = np.random.RandomState(4)
+    img = (rng.rand(40, 90, 1) * 255).astype(np.uint8)
+    out, _ = run_model_inference(_identity_model(patch_size=64), img)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_engine_matches_reference_loop_with_noise():
+    """Full engine vs a straight restatement of the reference per-patch loop."""
+    rng = np.random.RandomState(5)
+    img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+    sigma = 25
+    ps, ov = 48, 16
+
+    model = _identity_model(patch_size=ps, patch_overlap=ov, batch_size=3)
+    got, _ = run_model_inference(model, img, need_degradation=True, noise_level=sigma)
+
+    # Reference loop (utils.py:353-450) with an identity model.
+    imgn = img.astype(np.float32) / 255.0
+    h, w = imgn.shape[:2]
+    eff, his, wis = ref_tile_lists(h, w, ps, ov)
+    out = np.zeros((h, w, 3), np.float32)
+    wmap = np.zeros((h, w, 3), np.float32)
+    win = gaussian_window(eff, eff, 3)
+    for hi in his:
+        for wi in wis:
+            patch = imgn[hi : hi + eff, wi : wi + eff, :].copy()
+            np.random.seed(0)
+            patch += np.random.normal(0, sigma / 255.0, patch.shape)
+            patch = np.clip(patch, 0, 1).astype(np.float32)
+            ch, cw = patch.shape[:2]
+            out[hi : hi + ch, wi : wi + cw] += patch * win[:ch, :cw]
+            wmap[hi : hi + ch, wi : wi + cw] += win[:ch, :cw]
+    out /= np.maximum(wmap, 1e-8)
+    expected = np.clip(out * 255.0, 0, 255).round().astype(np.uint8)
+
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_engine_pad_factor_crop():
+    """pad_factor path: model asserts padded shape, output cropped back."""
+
+    def apply_fn(params, x):
+        assert x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+        return x * 1.0
+
+    model = InferenceModel(
+        name="pad8",
+        apply_fn=apply_fn,
+        params=(),
+        patch_size=50,
+        patch_overlap=10,
+        pad_factor=8,
+    )
+    img = (np.random.RandomState(6).rand(70, 65, 3) * 255).astype(np.uint8)
+    out, _ = run_model_inference(model, img)
+    np.testing.assert_array_equal(out, img)
