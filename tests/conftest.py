@@ -1,18 +1,21 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 All unit tests run on CPU so sharding paths can be exercised without
 multi-chip hardware; the benchmark (bench.py) runs on the real TPU.
+
+Note: the harness environment pre-imports JAX at interpreter startup with
+JAX_PLATFORMS=axon (the tunneled TPU), so env vars set here are too late —
+we switch platforms through jax.config, which works until a backend is
+actually instantiated.
 """
 
 import os
 import sys
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
