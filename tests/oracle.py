@@ -76,7 +76,6 @@ def selective_scan_sequential_torch(
 
     h = torch.zeros(batch, dim, N, dtype=torch.float32)
     ys = []
-    dA = torch.exp(delta.unsqueeze(-1) * A)  # (B, D, L, N) via broadcast
     dA = torch.exp(torch.einsum("bdl,dn->bdln", delta, A))
     dBu = torch.einsum("bdl,bdnl,bdl->bdln", delta, B_, u)
     for t in range(L):
@@ -92,6 +91,107 @@ def selective_scan_sequential_torch(
     if return_last_state:
         return y, h
     return y
+
+
+def install_fake_timm():
+    """Stub the timm.layers symbols the reference MaIR imports.
+
+    DropPath is identity in eval mode (all oracle runs are eval)."""
+    if "timm" in sys.modules:
+        return
+    import torch
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    timm = types.ModuleType("timm")
+    layers = types.ModuleType("timm.layers")
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm.layers = layers
+    sys.modules["timm"] = timm
+    sys.modules["timm.layers"] = layers
+
+
+def _load_by_path(fullname: str, path: str, package_path=None):
+    import importlib.util
+
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _ensure_pkg(fullname: str, path=None):
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    mod = types.ModuleType(fullname)
+    mod.__path__ = [path] if path else []
+    sys.modules[fullname] = mod
+    parent_name = fullname.rsplit(".", 1)
+    if len(parent_name) == 2:
+        setattr(sys.modules[parent_name[0]], parent_name[1], mod)
+    return mod
+
+
+def load_reference_mair_arch():
+    """Import the reference mair_arch.py with minimal fake dependencies.
+
+    The full `mair` package pulls in torchvision/lmdb-heavy modules; we wire
+    just enough of the package tree (registry + shift_scanf_util) into
+    sys.modules for the arch module's imports to resolve.
+    """
+    install_fake_timm()
+    install_fake_mamba_ssm()
+    base = "/root/reference/src/mair"
+    _ensure_pkg("mair", base)
+    _ensure_pkg("mair.basicsr", f"{base}/basicsr")
+    _ensure_pkg("mair.basicsr.utils", f"{base}/basicsr/utils")
+    _ensure_pkg("mair.basicsr.archs", f"{base}/basicsr/archs")
+    reg = _load_by_path(
+        "mair.basicsr.utils.registry", f"{base}/basicsr/utils/registry.py"
+    )
+    sys.modules["mair.basicsr.utils"].registry = reg
+    ssu = _load_by_path(
+        "mair.basicsr.archs.shift_scanf_util",
+        f"{base}/basicsr/archs/shift_scanf_util.py",
+    )
+    sys.modules["mair.basicsr.archs"].shift_scanf_util = ssu
+    return _load_by_path(
+        "mair.basicsr.archs.mair_arch", f"{base}/basicsr/archs/mair_arch.py"
+    )
+
+
+def load_reference_mairunet_arch():
+    """Import the reference mairunet_arch.py (realDenoising fork)."""
+    load_reference_mair_arch()  # provides mair.basicsr.utils.registry
+    base = "/root/reference/src/mair/realDenoising/basicsr/models/archs"
+    pkg = "refunet_archs"
+    if f"{pkg}.mairunet_arch" in sys.modules:
+        return sys.modules[f"{pkg}.mairunet_arch"]
+    _ensure_pkg(pkg, base)
+    _load_by_path(f"{pkg}.shift_scanf_util", f"{base}/shift_scanf_util.py")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"{pkg}.mairunet_arch", f"{base}/mairunet_arch.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = pkg
+    sys.modules[f"{pkg}.mairunet_arch"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def install_fake_mamba_ssm():

@@ -1,0 +1,303 @@
+"""MaIR: Mamba-based image restoration (flat SwinIR-style variant).
+
+TPU-native re-design of the reference architecture
+(/root/reference/src/mair/basicsr/archs/mair_arch.py). The sequential
+``mamba_ssm`` CUDA selective scan becomes a blocked associative scan
+(tpuir/ops/selective_scan.py); the NSS scan permutations are precomputed
+NumPy index arrays captured as jit constants per static (H, W) — the
+equivalent of the reference's ``dynamic_ids=False`` caching
+(mair_arch.py:661-698).
+
+Simplifications that are *math-preserving* (verified in tests):
+  * The ShuffleAttn gate (mair_arch.py:25-66) physically channel-shuffles,
+    1x1-group-convs the global average, and shuffles back. Because the gate
+    is a per-(direction, channel) scalar and the spatial mean is
+    permutation-invariant, we compute it directly from the scanned
+    sequences with one (D,4,4) einsum — no shuffles, no inverse gather
+    before gating.
+  * Token (B, L, C) <-> image (B, H, W, C) moves are pure reshapes in NHWC,
+    so PatchEmbed/PatchUnEmbed disappear; only their LayerNorm survives.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuir.ops.scan_ids import mair_scan_ids
+from tpuir.ops.selective_scan import selective_scan
+
+
+class TorchLayerNorm(nn.Module):
+    """LayerNorm over the last axis with torch parameter naming/semantics."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.eps) * weight + bias
+        return y.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+def scan_ids_for(h: int, w: int, scan_len: int):
+    """(scan, inverse) and shifted (scan, inverse) id constants for (h, w)."""
+    s0, i0 = mair_scan_ids(h, w, scan_len, 0)
+    s1, i1 = mair_scan_ids(h, w, scan_len, scan_len // 2)
+    return (
+        (jnp.asarray(s0), jnp.asarray(i0)),
+        (jnp.asarray(s1), jnp.asarray(i1)),
+    )
+
+
+class SSMixer(nn.Module):
+    """VMM / LoSh2D: 4-direction NSS selective-scan mixer with shuffle gate.
+
+    Mirrors /root/reference/src/mair/basicsr/archs/mair_arch.py:111-297 and
+    the identical LoSh2D (mairunet_arch.py:90-282).
+    """
+
+    d_model: int
+    d_state: int = 16
+    expand: float = 2.0
+    scan_chunk: int = 256
+
+    @nn.compact
+    def __call__(self, x, ids):
+        B, H, W, _ = x.shape
+        d_inner = int(self.expand * self.d_model)
+        R = math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 4
+        L = H * W
+        scan_ids, inv_ids = ids
+
+        xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
+        x_, z = jnp.split(xz, 2, axis=-1)
+        x_ = nn.Conv(
+            d_inner, (3, 3), padding=1, feature_group_count=d_inner, name="conv2d"
+        )(x_)
+        x_ = nn.silu(x_)
+
+        xf = x_.reshape(B, L, d_inner)
+        xs = jnp.take(xf, scan_ids, axis=1)  # (B, K, L, D)
+
+        x_proj_w = self.param(
+            "x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner)
+        )
+        x_dbl = jnp.einsum(
+            "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
+        )
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dt_w = self.param("dt_projs_weight", nn.initializers.normal(0.02), (K, d_inner, R))
+        dt_b = self.param("dt_projs_bias", nn.initializers.zeros, (K, d_inner))
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32)
+
+        A_logs = self.param(
+            "A_logs",
+            lambda key, shape: jnp.tile(
+                jnp.log(jnp.arange(1, N + 1, dtype=jnp.float32))[None, None, :],
+                (K, d_inner, 1),
+            ),
+            (K, d_inner, N),
+        )
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+
+        y = selective_scan(
+            xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
+            delta_softplus=True, chunk=self.scan_chunk,
+        )  # (B, K, L, D) float32
+
+        # ShuffleAttn gate: per-(direction, channel) sigmoid of a 4x4 mix of
+        # the 4 directions' global means of each channel.
+        pooled = jnp.mean(y, axis=2)  # (B, K, D)
+        gw = self.param("gate_weight", nn.initializers.normal(0.02), (d_inner, K, K))
+        gb = self.param("gate_bias", nn.initializers.zeros, (d_inner, K))
+        gates = jax.nn.sigmoid(
+            jnp.einsum("bid,doi->bod", pooled, gw) + gb.T[None]
+        )  # (B, K, D)
+        y = y * gates[:, :, None, :]
+
+        # Inverse NSS gather per direction, then sum the 4 directions.
+        y = jnp.take_along_axis(y, inv_ids[None, :, :, None], axis=2)
+        y = jnp.sum(y, axis=1)  # (B, L, D)
+
+        y = TorchLayerNorm(d_inner, name="out_norm")(y)
+        y = y * nn.silu(z.reshape(B, L, d_inner))
+        y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
+        return y.reshape(B, H, W, self.d_model).astype(x.dtype)
+
+
+class MaIRBlock(nn.Module):
+    """RMB (mair_arch.py:346-390) == VSSBlock (mairunet_arch.py:332-380)."""
+
+    dim: int
+    d_state: int
+    ssm_ratio: float
+    mlp_ratio: float
+    scan_chunk: int = 256
+
+    @nn.compact
+    def __call__(self, x, ids):
+        h = TorchLayerNorm(self.dim, name="ln_1")(x)
+        attn = SSMixer(
+            self.dim, self.d_state, self.ssm_ratio, self.scan_chunk,
+            name="self_attention",
+        )(h, ids)
+        skip_scale = self.param("skip_scale", nn.initializers.ones, (self.dim,))
+        x = x * skip_scale + attn
+        h2 = TorchLayerNorm(self.dim, name="ln_2")(x)
+        skip_scale2 = self.param("skip_scale2", nn.initializers.ones, (self.dim,))
+        x = x * skip_scale2 + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h2)
+        return x
+
+
+class MaIR(nn.Module):
+    """Flat MaIR for gaussian color denoising (mair_arch.py:493-730,
+    denoising branch: upsampler=None)."""
+
+    in_chans: int = 3
+    embed_dim: int = 180
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    d_state: int = 16
+    ssm_ratio: float = 1.3
+    mlp_ratio: float = 2.0
+    scan_len: int = 4
+    img_range: float = 1.0
+    scan_chunk: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        if self.in_chans == 3:
+            mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype)
+        else:
+            mean = jnp.zeros((self.in_chans,), x.dtype)
+        x = (x - mean) * self.img_range
+
+        xf = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_first")(x)
+        B, H, W, _ = xf.shape
+        ids, shift_ids = scan_ids_for(H, W, self.scan_len)
+
+        h = TorchLayerNorm(self.embed_dim, name="patch_embed_norm")(xf)
+        for i, depth in enumerate(self.depths):
+            g_in = h
+            for j in range(depth):
+                blk = MaIRBlock(
+                    self.embed_dim, self.d_state, self.ssm_ratio, self.mlp_ratio,
+                    self.scan_chunk, name=f"layers_{i}_blocks_{j}",
+                )
+                h = blk(h, shift_ids if j % 2 else ids)
+            h = nn.Conv(self.embed_dim, (3, 3), padding=1, name=f"layers_{i}_conv")(h)
+            h = h + g_in
+        h = TorchLayerNorm(self.embed_dim, name="norm")(h)
+
+        res = nn.Conv(self.embed_dim, (3, 3), padding=1, name="conv_after_body")(h) + xf
+        x = x + nn.Conv(self.in_chans, (3, 3), padding=1, name="conv_last")(res)
+        return x / self.img_range + mean
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion
+# ---------------------------------------------------------------------------
+
+
+def _f32(x):
+    return np.asarray(x, np.float32)
+
+
+def _conv_p(sd, name):
+    return {
+        "kernel": np.ascontiguousarray(_f32(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)),
+        "bias": _f32(sd[f"{name}.bias"]),
+    }
+
+
+def _dense_p(sd, name, bias=True):
+    p = {"kernel": np.ascontiguousarray(_f32(sd[f"{name}.weight"]).T)}
+    if bias:
+        p["bias"] = _f32(sd[f"{name}.bias"])
+    return p
+
+
+def _ln_p(sd, name):
+    return {"weight": _f32(sd[f"{name}.weight"]), "bias": _f32(sd[f"{name}.bias"])}
+
+
+def convert_ssmixer(sd: Dict[str, np.ndarray], t: str, d_inner: int) -> Dict:
+    """VMM / LoSh2D parameters (torch prefix ``t``)."""
+    K = 4
+    gw = _f32(sd[f"{t}.gating.gating.1.weight"])  # (4*d_inner, 4, 1, 1)
+    gb = _f32(sd[f"{t}.gating.gating.1.bias"])  # (4*d_inner,)
+    A_logs = _f32(sd[f"{t}.A_logs"]).reshape(K, d_inner, -1)
+    return {
+        "in_proj": _dense_p(sd, f"{t}.in_proj", bias=False),
+        "conv2d": _conv_p(sd, f"{t}.conv2d"),
+        "x_proj_weight": _f32(sd[f"{t}.x_proj_weight"]),
+        "dt_projs_weight": _f32(sd[f"{t}.dt_projs_weight"]),
+        "dt_projs_bias": _f32(sd[f"{t}.dt_projs_bias"]),
+        "A_logs": A_logs,
+        "Ds": _f32(sd[f"{t}.Ds"]).reshape(K, d_inner),
+        "gate_weight": gw.reshape(d_inner, K, K),
+        "gate_bias": gb.reshape(d_inner, K),
+        "out_norm": _ln_p(sd, f"{t}.out_norm"),
+        "out_proj": _dense_p(sd, f"{t}.out_proj", bias=False),
+    }
+
+
+def convert_block(sd: Dict[str, np.ndarray], t: str, d_inner: int, mlp_attr: str) -> Dict:
+    """RMB (mlp_attr='conv_blk') / VSSBlock (mlp_attr='mlp')."""
+    return {
+        "ln_1": _ln_p(sd, f"{t}.ln_1"),
+        "ln_2": _ln_p(sd, f"{t}.ln_2"),
+        "skip_scale": _f32(sd[f"{t}.skip_scale"]),
+        "skip_scale2": _f32(sd[f"{t}.skip_scale2"]),
+        "self_attention": convert_ssmixer(sd, f"{t}.self_attention", d_inner),
+        "mlp": {
+            "fc1": _dense_p(sd, f"{t}.{mlp_attr}.fc1"),
+            "fc2": _dense_p(sd, f"{t}.{mlp_attr}.fc2"),
+        },
+    }
+
+
+def convert_state_dict(
+    sd: Dict[str, np.ndarray],
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6),
+    embed_dim: int = 180,
+    ssm_ratio: float = 1.3,
+) -> Dict:
+    d_inner = int(ssm_ratio * embed_dim)
+    params: Dict[str, Any] = {
+        "conv_first": _conv_p(sd, "conv_first"),
+        "patch_embed_norm": _ln_p(sd, "patch_embed.norm"),
+        "norm": _ln_p(sd, "norm"),
+        "conv_after_body": _conv_p(sd, "conv_after_body"),
+        "conv_last": _conv_p(sd, "conv_last"),
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            params[f"layers_{i}_blocks_{j}"] = convert_block(
+                sd, f"layers.{i}.residual_group.blocks.{j}", d_inner, "conv_blk"
+            )
+        params[f"layers_{i}_conv"] = _conv_p(sd, f"layers.{i}.conv")
+    return {"params": params}
