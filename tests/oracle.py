@@ -97,7 +97,7 @@ def install_fake_timm():
     """Stub the timm.layers symbols the reference MaIR imports.
 
     DropPath is identity in eval mode (all oracle runs are eval)."""
-    if "timm" in sys.modules:
+    if "timm" in sys.modules and "timm.layers" in sys.modules:
         return
     import torch
 
@@ -111,7 +111,7 @@ def install_fake_timm():
     def to_2tuple(x):
         return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
 
-    timm = types.ModuleType("timm")
+    timm = sys.modules.get("timm") or types.ModuleType("timm")
     layers = types.ModuleType("timm.layers")
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
@@ -129,7 +129,11 @@ def _load_by_path(fullname: str, path: str, package_path=None):
     spec = importlib.util.spec_from_file_location(fullname, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[fullname] = mod
-    spec.loader.exec_module(mod)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        sys.modules.pop(fullname, None)  # don't leave a broken module behind
+        raise
     return mod
 
 
