@@ -23,35 +23,68 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the tunneled remote compiler takes minutes for
+# the fused model, the cache makes repeat bench runs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 
 def main():
     from tpuir.models.restormer import Restormer
 
-    batch = int(os.environ.get("TPUIR_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("TPUIR_BENCH_BATCH", "1"))
     size = int(os.environ.get("TPUIR_BENCH_SIZE", "256"))
-    iters = int(os.environ.get("TPUIR_BENCH_ITERS", "20"))
+    iters = int(os.environ.get("TPUIR_BENCH_ITERS", "10"))
     dtype = os.environ.get("TPUIR_BENCH_DTYPE", "float32")
 
     model = Restormer()
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, size, size, 3), jnp.dtype(dtype)
     )
-    params = model.init(jax.random.PRNGKey(0), x[:1])
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     if dtype != "float32":
         params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
 
-    fn = jax.jit(model.apply)
-    # The tunneled TPU backend here dispatches asynchronously and
-    # block_until_ready does not actually synchronize, so timing must (a)
-    # chain each iteration's input on the previous output and (b) fetch the
-    # final result to host.
+    use_fused = (
+        jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0"
+    )
+    if use_fused:
+        from tpuir.models import restormer_fused
+
+        fused_fn = restormer_fused.make_apply_fn(ln_bias=True)
+
+        def fn(p, x):
+            with jax.default_matmul_precision("float32"):
+                return fused_fn(p, x)
+
+        fn = jax.jit(fn)
+    else:
+
+        def fn(p, x):
+            with jax.default_matmul_precision("float32"):
+                return model.apply(p, x)
+
+        fn = jax.jit(fn)
+    # The tunneled TPU backend dispatches asynchronously (block_until_ready
+    # does not truly sync) and adds per-dispatch latency, so the iteration
+    # loop runs inside ONE jitted program: each iteration's input chains on
+    # the previous mean (defeats loop-invariant hoisting), and only a
+    # scalar is fetched.
     np.asarray(jnp.ones((8, 8)))  # tunnel warm-up (first contact is ~2 min)
-    np.asarray(fn(params, x))  # compile + first run
-    z = x
+
+    @jax.jit
+    def loop(p, q):
+        def body(i, carry):
+            acc, qq = carry
+            y = fn(p, qq)
+            m = jnp.mean(y.astype(jnp.float32))
+            return acc + m, qq + (m * 1e-20).astype(qq.dtype)
+
+        return jax.lax.fori_loop(0, iters, body, (0.0, q))[0]
+
+    np.asarray(loop(params, x))  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(iters):
-        z = fn(params, z)
-    np.asarray(z)
+    np.asarray(loop(params, x))
     dt = time.perf_counter() - t0
 
     mpix_per_s = batch * size * size * iters / dt / 1e6

@@ -181,14 +181,22 @@ def test_engine_identity_small_image():
     np.testing.assert_array_equal(out, img)
 
 
-def test_engine_matches_reference_loop_with_noise():
-    """Full engine vs a straight restatement of the reference per-patch loop."""
+@pytest.mark.parametrize("device_pipeline", [False, True])
+def test_engine_matches_reference_loop_with_noise(device_pipeline):
+    """Full engine vs a straight restatement of the reference per-patch loop.
+
+    The host path is bit-exact (float64 AWGN add, reference accumulate
+    order); the on-device pipeline adds noise in float32, so it may differ
+    by 1 uint8 LSB on ~1e-6 of pixels."""
     rng = np.random.RandomState(5)
     img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
     sigma = 25
     ps, ov = 48, 16
 
-    model = _identity_model(patch_size=ps, patch_overlap=ov, batch_size=3)
+    model = _identity_model(
+        patch_size=ps, patch_overlap=ov, batch_size=3,
+        device_pipeline=device_pipeline,
+    )
     got, _ = run_model_inference(model, img, need_degradation=True, noise_level=sigma)
 
     # Reference loop (utils.py:353-450) with an identity model.
@@ -210,7 +218,11 @@ def test_engine_matches_reference_loop_with_noise():
     out /= np.maximum(wmap, 1e-8)
     expected = np.clip(out * 255.0, 0, 255).round().astype(np.uint8)
 
-    np.testing.assert_array_equal(got, expected)
+    if device_pipeline:
+        diff = np.abs(got.astype(int) - expected.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+    else:
+        np.testing.assert_array_equal(got, expected)
 
 
 def test_engine_pad_factor_crop():

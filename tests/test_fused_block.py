@@ -1,0 +1,37 @@
+"""Fused TransformerBlock kernel (interpret mode) vs the Flax module."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpuir.models.restormer import TransformerBlock
+from tpuir.ops.fused_block import fused_transformer_block
+
+
+@pytest.mark.parametrize(
+    "H,W,C,heads,ln_bias,row_tile",
+    [
+        (16, 16, 8, 1, False, 8),
+        (24, 16, 16, 2, True, 8),
+        (20, 24, 16, 4, False, 8),  # H not a multiple of row_tile
+        (16, 16, 8, 1, True, 4),
+    ],
+)
+def test_fused_block_matches_module(H, W, C, heads, ln_bias, row_tile):
+    blk = TransformerBlock(C, heads, 2.66, False, ln_bias)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, H, W, C).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x)
+    # randomize the temperature so it actually matters
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params["params"]["attn"]["temperature"] = jnp.asarray(
+        np.random.RandomState(1).rand(heads, 1, 1).astype(np.float32) + 0.5
+    )
+
+    want = np.asarray(blk.apply(params, x))
+    got = np.asarray(
+        fused_transformer_block(
+            x, params["params"], heads, ln_bias, row_tile=row_tile, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

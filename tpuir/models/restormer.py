@@ -35,16 +35,19 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Moments accumulate in float32 via the reduction dtype — no
+        # materialized casts of the (large) activation, so the bf16 perf
+        # mode costs no extra memory passes; the fp32 path is unchanged.
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
-        x32 = x.astype(jnp.float32)
-        mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        mu = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32).astype(x.dtype)
+        var = jnp.mean(
+            (x - mu) ** 2, axis=-1, keepdims=True, dtype=jnp.float32
+        ).astype(x.dtype)
+        inv = jax.lax.rsqrt(var + jnp.asarray(1e-5, x.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-            y = (x32 - mu) / jnp.sqrt(var + 1e-5) * weight + bias
-        else:
-            y = x32 / jnp.sqrt(var + 1e-5) * weight
-        return y.astype(x.dtype)
+            return (x - mu) * inv * weight.astype(x.dtype) + bias.astype(x.dtype)
+        return x * inv * weight.astype(x.dtype)
 
 
 class MDTA(nn.Module):
@@ -82,12 +85,14 @@ class MDTA(nn.Module):
         temperature = self.param(
             "temperature", nn.initializers.ones, (self.num_heads, 1, 1)
         )
+        # attn is tiny (C/heads square): fp32 softmax costs nothing. The
+        # out-projection einsum writes directly in the compute dtype (MXU
+        # still accumulates fp32 internally).
         attn = jnp.einsum(
             "bhcl,bhdl->bhcd", q, k, preferred_element_type=jnp.float32
         ) * temperature
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhcd,bhdl->bhcl", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(x.dtype)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhcd,bhdl->bhcl", attn, v, preferred_element_type=x.dtype)
 
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias, name="project_out")(out)

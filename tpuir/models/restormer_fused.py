@@ -1,0 +1,110 @@
+"""Restormer inference with fused Pallas transformer blocks.
+
+A pure-function twin of tpuir.models.restormer.Restormer that consumes the
+exact same converted-checkpoint params pytree, but executes every
+TransformerBlock through the fused Pallas kernel
+(tpuir/ops/fused_block.py) — LN/attention/GDFN in two streaming passes per
+block. Convs and pixel (un)shuffles stay in XLA. Used by the serving path
+on TPU; the Flax module remains the training/reference implementation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpuir.ops.fused_block import fused_transformer_block
+from tpuir.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
+
+
+def _conv(p, x, stride=1, groups=1):
+    k = p["kernel"]
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride),
+        [(k.shape[0] // 2, k.shape[0] // 2), (k.shape[1] // 2, k.shape[1] // 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
+        "dual_pixel_task", "row_tile", "interpret",
+    ),
+)
+def apply(
+    params: Dict,
+    x: jnp.ndarray,
+    num_blocks: Sequence[int] = (4, 6, 6, 8),
+    num_refinement_blocks: int = 4,
+    heads: Sequence[int] = (1, 2, 4, 8),
+    ln_bias: bool = True,
+    dual_pixel_task: bool = False,
+    row_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p = params["params"] if "params" in params else params
+    nb = num_blocks
+
+    def run_stage(h, stage, n, n_heads):
+        for i in range(n):
+            h = fused_transformer_block(
+                h, p[f"{stage}_{i}"], n_heads, ln_bias,
+                row_tile=row_tile, interpret=interpret,
+            )
+        return h
+
+    feat1 = _conv(p["patch_embed"], x)
+    e1 = run_stage(feat1, "encoder_level1", nb[0], heads[0])
+
+    e2 = pixel_unshuffle(_conv(p["down1_2"]["conv"], e1), 2)
+    e2 = run_stage(e2, "encoder_level2", nb[1], heads[1])
+
+    e3 = pixel_unshuffle(_conv(p["down2_3"]["conv"], e2), 2)
+    e3 = run_stage(e3, "encoder_level3", nb[2], heads[2])
+
+    lat = pixel_unshuffle(_conv(p["down3_4"]["conv"], e3), 2)
+    lat = run_stage(lat, "latent", nb[3], heads[3])
+
+    d3 = pixel_shuffle(_conv(p["up4_3"]["conv"], lat), 2)
+    d3 = jnp.concatenate([d3, e3], axis=-1)
+    d3 = _conv(p["reduce_chan_level3"], d3)
+    d3 = run_stage(d3, "decoder_level3", nb[2], heads[2])
+
+    d2 = pixel_shuffle(_conv(p["up3_2"]["conv"], d3), 2)
+    d2 = jnp.concatenate([d2, e2], axis=-1)
+    d2 = _conv(p["reduce_chan_level2"], d2)
+    d2 = run_stage(d2, "decoder_level2", nb[1], heads[1])
+
+    d1 = pixel_shuffle(_conv(p["up2_1"]["conv"], d2), 2)
+    d1 = jnp.concatenate([d1, e1], axis=-1)
+    d1 = run_stage(d1, "decoder_level1", nb[0], heads[0])
+    d1 = run_stage(d1, "refinement", num_refinement_blocks, heads[0])
+
+    if dual_pixel_task:
+        d1 = d1 + _conv(p["skip_conv"], feat1)
+        return _conv(p["output"], d1)
+    return _conv(p["output"], d1) + x
+
+
+def make_apply_fn(
+    ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
+    interpret: bool = False,
+):
+    """apply_fn(params, x) for the engine's InferenceModel."""
+
+    def fn(params, x):
+        return apply(
+            params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
+            row_tile=row_tile, interpret=interpret,
+        )
+
+    return fn

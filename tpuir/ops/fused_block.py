@@ -1,0 +1,299 @@
+"""Fully-fused Pallas kernel for one Restormer TransformerBlock.
+
+Why: profiled on v5e, the XLA lowering of a block (restormer.py
+TransformerBlock) spends most of its time in kernel-boundary overhead and
+lane-retiling of small-C tensors — a block at 256^2x48 costs ~1.1 ms while
+its ideal HBM traffic is ~100 us. This kernel runs the whole block —
+
+  LN1 -> qkv 1x1 -> 3x3 depthwise -> channel attention -> project ->
+  residual -> LN2 -> GDFN (1x1 expand -> 3x3 depthwise -> exact-GELU gate
+  -> 1x1 project) -> residual
+
+— in two passes over row tiles of the image:
+
+  phase 0: stream rows, recompute q/k, accumulate per-head Gram matrix
+           G[c,d] = sum_l q[l,c] k[l,d] and squared norms (the reference's
+           pre-softmax L2 normalization is a per-channel scalar, so it
+           factors out of G); at the last tile, softmax -> A (heads,hc,hc)
+  phase 1: stream rows again, recompute qkv, apply A, finish the block,
+           write the output rows
+
+HBM traffic per block: ~2 reads of x + 1 write of out (plus weights),
+instead of dozens of intermediate round trips.
+
+Halo handling: two nested 3x3 depthwise convs need a 2-row halo. Rather
+than overlapped reads (Mosaic rejects lane-unaligned manual DMA slices for
+C<128), the grid runs one tile ahead and a VMEM scratch ring carries the
+previous tile plus two rows of the tile before it; image-boundary halo
+rows are zeroed to reproduce the convs' zero padding, and rows past the
+real H are masked out of the attention statistics. All accumulation is
+float32. Restrictions (matching every released Restormer config):
+bias-free convs. Both LayerNorm variants are supported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """float32 erf (A&S 7.1.26 rational approx, |err| < 1.5e-7 — below
+    float32 resolution for GELU). Pallas TPU has no erf primitive."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x.astype(jnp.float32) / np.sqrt(2.0)))
+
+
+def _ln(x, w, b, subtract_mean: bool):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    base = (x32 - mu) if subtract_mean else x32
+    return base * jax.lax.rsqrt(var + 1e-5) * w + b
+
+
+def _dwconv(t, w9):
+    """t: (R, W, K) float32, w9: (9, K). Valid rows only: out (R-2, W, K)."""
+    R, W, K = t.shape
+    out = jnp.zeros((R - 2, W, K), jnp.float32)
+    zcol = jnp.zeros((R - 2, 1, K), jnp.float32)
+    for di in range(3):
+        rows = t[di : di + R - 2]
+        for dj in range(3):
+            if dj == 0:
+                shifted = jnp.concatenate([zcol, rows[:, :-1]], axis=1)
+            elif dj == 1:
+                shifted = rows
+            else:
+                shifted = jnp.concatenate([rows[:, 1:], zcol], axis=1)
+            out = out + shifted * w9[di * 3 + dj]
+    return out
+
+
+def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
+                 H_real: int, ln_bias: bool, out_dtype):
+    hc = C // heads
+
+    def kernel(x_ref, w_qkv, dw_qkv, temp, w_proj, ln1, ln2, w_fin, dw_fin,
+               w_fout, out_ref, prev_tile, pp_rows, g_acc, qs_acc, ks_acc,
+               attn):
+        ph = pl.program_id(1)
+        rt = pl.program_id(2)
+        n_rt = pl.num_programs(2)  # = n_tiles + 1 (one-tile lag)
+
+        fresh = x_ref[0].astype(jnp.float32)  # tile rt (clamped at the end)
+
+        @pl.when(rt == 0)
+        def _seed():
+            # top halo of tile 0 is the conv zero padding
+            pp_rows[:] = jnp.zeros_like(pp_rows)
+            prev_tile[:] = fresh.astype(prev_tile.dtype)
+
+        @pl.when(jnp.logical_and(ph == 0, rt == 0))
+        def _reset():
+            g_acc[:] = jnp.zeros_like(g_acc)
+            qs_acc[:] = jnp.zeros_like(qs_acc)
+            ks_acc[:] = jnp.zeros_like(ks_acc)
+
+        @pl.when(rt > 0)
+        def _compute():
+            T = rt - 1  # output tile index
+            bot = jnp.where(rt == n_rt - 1, 0.0, 1.0) * fresh[:2]
+            x_t = jnp.concatenate(
+                [pp_rows[:].astype(jnp.float32),
+                 prev_tile[:].astype(jnp.float32), bot], axis=0
+            )  # (RT+4, W, C); row j <-> real row T*RT + j - 2
+
+            y = _ln(x_t, ln1[0], ln1[1], ln_bias)
+            qkv = jax.lax.dot_general(
+                y.reshape(-1, C), w_qkv[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+            ).reshape(RT + 4, W, 3 * C)
+            # rows outside the real image must be exactly the dwconv's zero
+            # padding (phantom rows pick up values through LN bias otherwise)
+            jrow = jax.lax.broadcasted_iota(jnp.int32, (RT + 4, 1, 1), 0)
+            real_j = T * RT + jrow - 2
+            qkv = qkv * jnp.logical_and(real_j >= 0, real_j < H_real).astype(
+                jnp.float32
+            )
+            dq = _dwconv(qkv, dw_qkv[:])  # (RT+2, W, 3C); row i <-> x_t row i+1
+
+            @pl.when(ph == 0)
+            def _stats():
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (RT, W, 1), 0)
+                mask = (T * RT + row_ids < H_real).astype(jnp.float32)
+                qf = (dq[1 : RT + 1, :, :C] * mask).reshape(-1, C)
+                kf = (dq[1 : RT + 1, :, C : 2 * C] * mask).reshape(-1, C)
+                for h in range(heads):
+                    qh = qf[:, h * hc : (h + 1) * hc]
+                    kh = kf[:, h * hc : (h + 1) * hc]
+                    g_acc[h] += jax.lax.dot_general(
+                        qh, kh, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    qs_acc[h] += jnp.sum(qh * qh, axis=0, keepdims=True)
+                    ks_acc[h] += jnp.sum(kh * kh, axis=0, keepdims=True)
+
+            @pl.when(jnp.logical_and(ph == 0, rt == n_rt - 1))
+            def _finalize():
+                for h in range(heads):
+                    qn = jnp.maximum(jnp.sqrt(qs_acc[h][0]), 1e-12)
+                    kn = jnp.maximum(jnp.sqrt(ks_acc[h][0]), 1e-12)
+                    logits = g_acc[h] / qn[:, None] / kn[None, :] * temp[0, h]
+                    attn[h] = jax.nn.softmax(logits, axis=-1)
+
+            @pl.when(ph == 1)
+            def _apply():
+                vf = dq[:, :, 2 * C :].reshape(-1, C)  # (RT+2)*W rows
+                outs = []
+                for h in range(heads):
+                    vh = vf[:, h * hc : (h + 1) * hc]
+                    outs.append(
+                        jax.lax.dot_general(
+                            vh, attn[h], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                        )
+                    )
+                ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+                ao = jax.lax.dot_general(
+                    ao, w_proj[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                ).reshape(RT + 2, W, C)
+                x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dq rows)
+
+                y2 = _ln(x2, ln2[0], ln2[1], ln_bias)
+                h1 = jax.lax.dot_general(
+                    y2.reshape(-1, C), w_fin[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                ).reshape(RT + 2, W, 2 * hidden)
+                irow = jax.lax.broadcasted_iota(jnp.int32, (RT + 2, 1, 1), 0)
+                real_i = T * RT + irow - 1
+                h1 = h1 * jnp.logical_and(
+                    real_i >= 0, real_i < H_real
+                ).astype(jnp.float32)
+                hd = _dwconv(h1, dw_fin[:])  # (RT, W, 2*hidden)
+                gated = _gelu_exact(hd[:, :, :hidden]) * hd[:, :, hidden:]
+                out_t = jax.lax.dot_general(
+                    gated.reshape(-1, hidden), w_fout[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                ).reshape(RT, W, C)
+                out_ref[0] = (x2[1 : RT + 1] + out_t).astype(out_dtype)
+
+        @pl.when(jnp.logical_and(rt == 0, ph == 1))
+        def _zero_first():
+            out_ref[0] = jnp.zeros((RT, W, C), out_dtype)
+
+        # advance the ring (after compute): keep tile rt and its last 2 rows
+        @pl.when(rt > 0)
+        def _advance():
+            pp_rows[:] = prev_tile[RT - 2 :]
+            prev_tile[:] = fresh.astype(prev_tile.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "ln_bias", "row_tile", "interpret")
+)
+def fused_transformer_block(
+    x: jnp.ndarray,
+    p: Dict[str, jnp.ndarray],
+    heads: int,
+    ln_bias: bool,
+    row_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x: (B, H, W, C). p holds the converted TransformerBlock params:
+    norm1/norm2 {weight[,bias]}, attn {qkv, qkv_dwconv, project_out,
+    temperature}, ffn {project_in, dwconv, project_out} (bias-free convs).
+    """
+    B, H, W, C = x.shape
+    hidden = p["ffn"]["project_in"]["kernel"].shape[-1] // 2
+    RT = row_tile
+    Hp = H + ((-H) % RT)
+    n_tiles = Hp // RT
+    xp = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+
+    def ln_pack(d):
+        w = d["weight"].astype(jnp.float32)
+        b = d.get("bias")
+        b = jnp.zeros_like(w) if b is None else b.astype(jnp.float32)
+        return jnp.stack([w, b])
+
+    w_qkv = p["attn"]["qkv"]["kernel"].reshape(C, 3 * C)
+    dw_qkv = p["attn"]["qkv_dwconv"]["kernel"].reshape(9, 3 * C)
+    w_proj = p["attn"]["project_out"]["kernel"].reshape(C, C)
+    temp = p["attn"]["temperature"].reshape(1, heads).astype(jnp.float32)
+    w_fin = p["ffn"]["project_in"]["kernel"].reshape(C, 2 * hidden)
+    dw_fin = p["ffn"]["dwconv"]["kernel"].reshape(9, 2 * hidden)
+    w_fout = p["ffn"]["project_out"]["kernel"].reshape(hidden, C)
+
+    kernel = _make_kernel(RT, W, C, heads, hidden, H, ln_bias, x.dtype)
+    hc = C // heads
+    vmem = lambda shape: pl.BlockSpec(shape, lambda b, ph, rt: tuple([0] * len(shape)))  # noqa: E731
+    n_rt = n_tiles + 1  # one-tile lag
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, 2, n_rt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, RT, W, C),
+                lambda b, ph, rt: (b, jnp.minimum(rt, n_rt - 2), 0, 0),
+            ),
+            vmem((C, 3 * C)),
+            vmem((9, 3 * C)),
+            vmem((1, heads)),
+            vmem((C, C)),
+            vmem((2, C)),
+            vmem((2, C)),
+            vmem((C, 2 * hidden)),
+            vmem((9, 2 * hidden)),
+            vmem((hidden, C)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, RT, W, C),
+            lambda b, ph, rt: (b, jnp.maximum(rt - 1, 0), 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((RT, W, C), x.dtype),  # prev_tile
+            pltpu.VMEM((2, W, C), x.dtype),  # pp_rows
+            pltpu.VMEM((heads, hc, hc), jnp.float32),
+            pltpu.VMEM((heads, 1, hc), jnp.float32),
+            pltpu.VMEM((heads, 1, hc), jnp.float32),
+            pltpu.VMEM((heads, hc, hc), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xp, w_qkv.astype(x.dtype), dw_qkv.astype(jnp.float32), temp,
+        w_proj.astype(jnp.float32), ln_pack(p["norm1"]), ln_pack(p["norm2"]),
+        w_fin.astype(jnp.float32), dw_fin.astype(jnp.float32),
+        w_fout.astype(jnp.float32),
+    )
+    return out[:, :H]

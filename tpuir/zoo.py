@@ -156,9 +156,24 @@ def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma
     params = m.convert_state_dict(
         sd, layer_norm_bias=ln_bias, dual_pixel_task=dual
     )
+    # On TPU, serve through the fused Pallas blocks: ~1.4x faster than the
+    # XLA path at float32-parity precision (and more accurate than XLA's
+    # default bf16 matmul passes). TPUIR_FUSED=0 falls back to pure XLA.
+    import jax
+
+    apply_fn = model.apply
+    if (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("TPUIR_FUSED", "1") != "0"
+    ):
+        from tpuir.models import restormer_fused
+
+        apply_fn = restormer_fused.make_apply_fn(
+            ln_bias=ln_bias, dual_pixel_task=dual
+        )
     pc = get_patch_config(task, subtask.split("-")[0], "Restormer")
     return InferenceModel(
-        name="Restormer", apply_fn=model.apply, params=params,
+        name="Restormer", apply_fn=apply_fn, params=params,
         patch_size=pc["patch_size"], patch_overlap=pc["patch_overlap"],
         pad_factor=8, param_count=param_count(params),
     )
