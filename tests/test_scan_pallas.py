@@ -1,0 +1,28 @@
+"""Pallas selective-scan kernel (interpret mode) vs the XLA blocked scan."""
+
+import numpy as np
+import pytest
+
+from tpuir.ops.selective_scan import selective_scan
+from tpuir.ops.scan_pallas import selective_scan_pallas
+from tests.test_selective_scan import _random_case
+
+
+@pytest.mark.parametrize(
+    "b,k,L,d,n,chunk,d_tile",
+    [
+        (1, 2, 64, 8, 4, 16, 8),
+        (2, 4, 100, 12, 5, 32, 8),  # ragged L and D
+        (1, 4, 256, 24, 16, 64, 16),
+    ],
+)
+def test_pallas_scan_matches_xla(b, k, L, d, n, chunk, d_tile):
+    rng = np.random.RandomState(0)
+    u, delta, A, B, C, D, bias = _random_case(rng, b=b, k=k, L=L, d=d, n=n)
+    want = np.asarray(selective_scan(u, delta, A, B, C, D, bias, chunk=chunk))
+    got = np.asarray(
+        selective_scan_pallas(
+            u, delta, A, B, C, D, bias, chunk=chunk, d_tile=d_tile, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -1,0 +1,140 @@
+"""Pallas selective-scan kernel (Mamba S6) for TPU.
+
+The XLA blocked associative scan (tpuir/ops/selective_scan.py) materializes
+every scan level through HBM; on v5e that makes MaIR's 36x4 scans dominate
+the forward (~0.5 s at 128^2). This kernel keeps the whole log-depth
+Hillis-Steele scan of each L-chunk resident in VMEM and fuses the
+discretization (softplus, exp, dt*B*u) and the output contraction
+(y = C.h + D.u), so HBM sees each operand exactly once.
+
+Grid: (B*K, D_tiles, L_chunks) with the chunk axis innermost; a (N, Dt)
+scratch carries the hidden state across chunks. Channel tiles put D on the
+128-lane axis — (chunk, N, Dt) blocks. All math float32 (the CUDA kernel's
+precision). The wrapper pads D and L; padded rows sit after the real
+sequence so their garbage never flows backward, and padded channels have
+A=0, u=0 => y=0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(chunk: int, n: int, d_tile: int):
+    def kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, y_ref,
+               h_carry):
+        lc = pl.program_id(2)
+
+        @pl.when(lc == 0)
+        def _reset():
+            h_carry[:] = jnp.zeros_like(h_carry)
+
+        u = u_ref[0].astype(jnp.float32)  # (chunk, Dt)
+        dt = jax.nn.softplus(dt_ref[0].astype(jnp.float32) + bias_ref[0, 0])
+        a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dt)
+        b = B_ref[0][:, :, None] * (dt * u)[:, None, :]
+
+        # In-VMEM inclusive scan: after the loop, a == prefix products P_i
+        # and b == prefix solution with h0 = 0.
+        s = 1
+        while s < chunk:
+            a_prev = jnp.concatenate(
+                [jnp.ones((s, n, d_tile), jnp.float32), a[:-s]], axis=0
+            )
+            b_prev = jnp.concatenate(
+                [jnp.zeros((s, n, d_tile), jnp.float32), b[:-s]], axis=0
+            )
+            b = a * b_prev + b
+            a = a * a_prev
+            s *= 2
+
+        h_all = a * h_carry[:][None] + b  # (chunk, N, Dt)
+        y = jnp.sum(h_all * C_ref[0][:, :, None], axis=1)  # (chunk, Dt)
+        y = y + D_ref[0, 0] * u
+        y_ref[0] = y
+        h_carry[:] = h_all[chunk - 1]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delta_softplus", "chunk", "d_tile", "interpret")
+)
+def selective_scan_pallas(
+    u: jnp.ndarray,  # (B, K, L, D)
+    delta: jnp.ndarray,  # (B, K, L, D)
+    A: jnp.ndarray,  # (K, D, N) (already -exp(A_log))
+    Bmat: jnp.ndarray,  # (B, K, L, N)
+    Cmat: jnp.ndarray,  # (B, K, L, N)
+    D: jnp.ndarray | None = None,  # (K, D)
+    delta_bias: jnp.ndarray | None = None,  # (K, D)
+    delta_softplus: bool = True,
+    chunk: int = 512,
+    d_tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    assert delta_softplus, "kernel fuses softplus; raw-delta mode unused"
+    b, k, L, d = u.shape
+    n = A.shape[-1]
+    dp = (-d) % d_tile
+    lp = (-L) % chunk
+    Dp, Lp = d + dp, L + lp
+
+    pad_ld = ((0, 0), (0, 0), (0, lp), (0, dp))
+    pad_ln = ((0, 0), (0, 0), (0, lp), (0, 0))
+    u_p = jnp.pad(u.astype(jnp.float32), pad_ld).reshape(b * k, Lp, Dp)
+    dt_p = jnp.pad(delta.astype(jnp.float32), pad_ld).reshape(b * k, Lp, Dp)
+    B_p = jnp.pad(Bmat.astype(jnp.float32), pad_ln).reshape(b * k, Lp, n)
+    C_p = jnp.pad(Cmat.astype(jnp.float32), pad_ln).reshape(b * k, Lp, n)
+    # (K, N, Dp) so kernel blocks put D on lanes
+    A_p = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, dp), (0, 0))).transpose(0, 2, 1)
+    D_p = (
+        jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))
+        if D is not None
+        else jnp.zeros((k, Dp), jnp.float32)
+    )
+    bias_p = (
+        jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))
+        if delta_bias is not None
+        else jnp.zeros((k, Dp), jnp.float32)
+    )
+
+    n_dt = Dp // d_tile
+    n_lc = Lp // chunk
+    grid = (b * k, n_dt, n_lc)
+    # (k*n_dt, 1, d_tile): keeps the last-two block dims tile-aligned
+    D_p = D_p.reshape(k * n_dt, 1, d_tile)
+    bias_p = bias_p.reshape(k * n_dt, 1, d_tile)
+
+    y = pl.pallas_call(
+        _make_kernel(chunk, n, d_tile),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, chunk, d_tile), lambda bk, dt_, lc: (bk, lc, dt_)),
+            pl.BlockSpec((1, chunk, d_tile), lambda bk, dt_, lc: (bk, lc, dt_)),
+            pl.BlockSpec((1, n, d_tile), lambda bk, dt_, lc: (bk % k, 0, dt_)),
+            pl.BlockSpec((1, chunk, n), lambda bk, dt_, lc: (bk, lc, 0)),
+            pl.BlockSpec((1, chunk, n), lambda bk, dt_, lc: (bk, lc, 0)),
+            pl.BlockSpec(
+                (1, 1, d_tile), lambda bk, dt_, lc: ((bk % k) * n_dt + dt_, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, d_tile), lambda bk, dt_, lc: ((bk % k) * n_dt + dt_, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, d_tile), lambda bk, dt_, lc: (bk, lc, dt_)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * k, Lp, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, d_tile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(u_p, dt_p, A_p, B_p, C_p, D_p, bias_p)
+    return y.reshape(b, k, Lp, Dp)[:, :, :L, :d]
