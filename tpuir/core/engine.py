@@ -259,9 +259,12 @@ def run_model_inference(
                 gaussian_noise_field((ph, pw, img.shape[2]), noise_level),
                 jnp.float32,
             )
-        output_img = np.asarray(
-            model._step_cache[key](model.params, jnp.asarray(img), noise)
-        )
+        from tpuir.utils.profiling import maybe_trace
+
+        with maybe_trace(f"engine_{model.name.replace(' ', '_')}"):
+            output_img = np.asarray(
+                model._step_cache[key](model.params, jnp.asarray(img), noise)
+            )
         if progress_cb is not None:
             progress_cb(len(coords), len(coords))
     else:

@@ -127,7 +127,14 @@ def train_pipeline(root_path: str, opt: Dict) -> Dict:
             if current_iter % logger_opt.get("save_checkpoint_freq", 5000) == 0:
                 logger.info("Saving models and training states.")
                 model.save(epoch, current_iter)
-            if val_opt.get("val_freq") and current_iter % int(val_opt["val_freq"]) == 0:
+            # two-stage validation frequency (reference trainF.py:204-214):
+            # val_freq before val_milestone, val_freq_final after
+            val_freq = val_opt.get("val_freq")
+            if val_opt.get("val_milestone") and current_iter >= int(
+                val_opt["val_milestone"]
+            ):
+                val_freq = val_opt.get("val_freq_final", val_freq)
+            if val_freq and current_iter % int(val_freq) == 0:
                 for name, loader in val_loaders:
                     metrics = model.validation(
                         loader,
