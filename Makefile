@@ -1,0 +1,31 @@
+# tpuir — convenience targets (CLI parity with the reference Makefile)
+
+.PHONY: test bench download-weights download-datasets native demo flops clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+download-weights:
+	./scripts/download_weights.sh
+
+download-datasets:
+	./scripts/download_datasets.sh
+
+native:
+	g++ -O3 -march=native -shared -fPIC native/tileblend.cpp -o native/libtileblend.so
+
+demo:
+	python scripts/demo.py
+
+flops:
+	python scripts/compute_flops.py
+
+eval:
+	python scripts/tests.py
+
+clean:
+	rm -f native/libtileblend.so
+	rm -rf results experiments tb_logger

@@ -1,0 +1,91 @@
+"""Multi-chip tiled inference: shard the patch grid over a device mesh.
+
+The reference's de-facto "sequence parallelism" is spatial tiling
+(SURVEY §2.5 item 3); patches are independent, so the patch batch shards
+over the mesh's 'dp' axis and each chip runs the model on its share — no
+collectives on the forward path at all (XLA just splits the batch).
+Blend-stitching happens on the host from the gathered predictions.
+
+Tested on a virtual 8-device CPU mesh; on hardware the same code spans a
+v5e pod slice.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuir.core.degrade import add_noise_batched
+from tpuir.core.engine import InferenceModel, pad_always_block, pad_to_multiple
+from tpuir.core.image_io import restore_dtype
+from tpuir.core.tiling import gaussian_window, tile_indices
+from tpuir.native import blend_stitch
+
+
+def run_model_inference_sharded(
+    model: InferenceModel,
+    input_img: np.ndarray,
+    mesh: Mesh,
+    patch_size: Optional[int] = None,
+    patch_overlap: Optional[int] = None,
+    need_degradation: bool = False,
+    noise_level: Optional[float] = None,
+):
+    """Tiled inference with the patch batch sharded over mesh axis 'dp'."""
+    start = time.time()
+    patch_size = model.patch_size if patch_size is None else patch_size
+    patch_overlap = model.patch_overlap if patch_overlap is None else patch_overlap
+
+    img = model.normalize(input_img)
+    h, w = img.shape[:2]
+    out_ch = min(3, img.shape[2])
+    ps, h_idx, w_idx = tile_indices(h, w, patch_size, patch_overlap)
+    ph, pw = min(ps, h), min(ps, w)
+    coords = [(hi, wi) for hi in h_idx for wi in w_idx]
+
+    patches = np.stack([img[hi : hi + ps, wi : wi + ps, :] for hi, wi in coords])
+    if need_degradation and noise_level is not None:
+        patches = add_noise_batched(patches, noise_level)
+
+    n = patches.shape[0]
+    n_dev = mesh.shape.get("dp", 1)
+    n_pad = (-n) % n_dev
+    if n_pad:
+        patches = np.concatenate([patches, patches[-1:].repeat(n_pad, 0)], axis=0)
+
+    key = ("sharded", patches.shape[1:], mesh)
+    if key not in model._step_cache:
+        pad_factor, pad_block, postprocess = (
+            model.pad_factor, model.pad_block, model.postprocess,
+        )
+        apply_fn = model.apply_fn
+        batch_sh = NamedSharding(mesh, P("dp", None, None, None))
+
+        def step(params, x):
+            hh, ww = x.shape[1], x.shape[2]
+            if pad_factor:
+                x = pad_to_multiple(x, pad_factor, mode="reflect")
+            elif pad_block:
+                x = pad_always_block(x, pad_block)
+            with jax.default_matmul_precision("float32"):
+                y = apply_fn(params, x)
+            y = y[:, :hh, :ww, :]
+            if postprocess is not None:
+                y = postprocess(y)
+            return y.astype(jnp.float32)
+
+        model._step_cache[key] = (jax.jit(step), batch_sh)
+
+    step, batch_sh = model._step_cache[key]
+    x_dev = jax.device_put(patches, batch_sh)
+    preds = np.asarray(step(model.params, x_dev))[:n]
+
+    window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
+    out = blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
+    out = restore_dtype(out, input_img)
+    return out, (time.time() - start) * 1000.0
