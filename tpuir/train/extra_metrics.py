@@ -103,7 +103,9 @@ def niqe_core(
                 feats.append(_compute_feature(block))
         distparam.append(np.array(feats))
         if scale == 1:
-            img = img[::2, ::2]  # nearest 1/2 downsample (imresize approx)
+            from tpuir.utils.matlab_resize import imresize
+
+            img = imresize(img / 255.0, scale=0.5, antialiasing=True) * 255.0
 
     distparam = np.concatenate(distparam, axis=1)
     mu_distparam = np.nanmean(distparam, axis=0)
