@@ -10,7 +10,7 @@ weights (FileNotFoundError), like the reference (tests.py:46-50).
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ All norms run in train mode (see norms.py). Input/output are in [-1, 1].
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ Simplifications that are *math-preserving* (verified in tests):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import flax.linen as nn
 import jax

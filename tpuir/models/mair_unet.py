@@ -20,7 +20,7 @@ import numpy as np
 
 from tpuir.ops.pixel_shuffle import pixel_shuffle, pixel_unshuffle
 from tpuir.ops.scan_ids import mair_scan_ids
-from tpuir.models.mair import MaIRBlock, _conv_p, _f32, convert_block
+from tpuir.models.mair import MaIRBlock, _f32, convert_block
 
 
 class MaIRUNet(nn.Module):

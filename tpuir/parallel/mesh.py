@@ -16,7 +16,7 @@ patch batch plus optional `sp` within a patch.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

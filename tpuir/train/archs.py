@@ -7,7 +7,7 @@ registry convention) and maps them onto the tpuir model classes.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 from tpuir.registry import ARCH_REGISTRY
 

@@ -10,7 +10,6 @@ friendly arrays; the ``reduction``/elementwise-weight semantics of BasicSR's
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

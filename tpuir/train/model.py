@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import time
 from typing import Dict, Optional
 
 import jax

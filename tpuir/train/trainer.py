@@ -11,7 +11,6 @@ performed with NCCL.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax

@@ -16,7 +16,7 @@ from typing import Dict, List
 import numpy as np
 
 from tpuir.registry import DATASET_REGISTRY
-from tpuir.train.data import PairedImageDataset, _imread
+from tpuir.train.data import _imread
 from tpuir.utils.natsort import natsorted
 
 

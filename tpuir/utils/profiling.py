@@ -48,7 +48,6 @@ def xla_cost(fn: Callable, *args):
 def check_nan_inf(tree, name: str = "tensor") -> bool:
     """Debug guard (reference csms6s.check_nan_inf equivalent): returns True
     and prints when any leaf holds NaN/Inf."""
-    import jax.numpy as jnp
     import numpy as np
 
     bad = False

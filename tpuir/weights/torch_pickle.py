@@ -18,7 +18,6 @@ with ``torch._utils._rebuild_tensor_v2``.
 
 from __future__ import annotations
 
-import io
 import pickle
 import zipfile
 from typing import Any, Dict
