@@ -131,9 +131,12 @@ class SSMixer(nn.Module):
             # (~3x over the XLA blocked scan on v5e, matches to 1e-5)
             from tpuir.ops.scan_pallas import selective_scan_pallas
 
+            # d_tile: one lane tile for small channel counts (MaIRUNet
+            # levels), two for MaIR-CDN's d_inner=234 (fewer grid steps)
             y = selective_scan_pallas(
                 xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
-                delta_softplus=True, chunk=max(self.scan_chunk, 512),
+                delta_softplus=True, chunk=256,
+                d_tile=256 if d_inner > 128 else 128,
             )
         else:
             y = selective_scan(
