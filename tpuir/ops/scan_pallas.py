@@ -39,19 +39,30 @@ def _make_kernel(chunk: int, n: int, d_tile: int):
         a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dt)
         b = B_ref[0][:, :, None] * (dt * u)[:, None, :]
 
-        # In-VMEM inclusive scan: after the loop, a == prefix products P_i
-        # and b == prefix solution with h0 = 0.
-        s = 1
-        while s < chunk:
-            a_prev = jnp.concatenate(
-                [jnp.ones((s, n, d_tile), jnp.float32), a[:-s]], axis=0
-            )
-            b_prev = jnp.concatenate(
-                [jnp.zeros((s, n, d_tile), jnp.float32), b[:-s]], axis=0
-            )
-            b = a * b_prev + b
-            a = a * a_prev
-            s *= 2
+        # In-VMEM work-efficient (Blelloch) inclusive scan: O(chunk) combine
+        # work instead of Hillis-Steele's O(chunk log chunk). After this,
+        # a == prefix products P_i and b == prefix solution with h0 = 0.
+        levels = []
+        ca, cb = a, b
+        while ca.shape[0] > 1:  # upsweep
+            m = ca.shape[0] // 2
+            pa = ca.reshape(m, 2, n, d_tile)
+            pb = cb.reshape(m, 2, n, d_tile)
+            la, ra = pa[:, 0], pa[:, 1]
+            lb, rb = pb[:, 0], pb[:, 1]
+            levels.append((la, lb))
+            ca = ra * la
+            cb = ra * lb + rb
+        ea = jnp.ones((1, n, d_tile), jnp.float32)  # exclusive prefixes
+        eb = jnp.zeros((1, n, d_tile), jnp.float32)
+        for la, lb in reversed(levels):  # downsweep
+            era = la * ea  # exclusive prefix for the right element of the pair
+            erb = la * eb + lb
+            m = ea.shape[0]
+            ea = jnp.stack([ea, era], axis=1).reshape(2 * m, n, d_tile)
+            eb = jnp.stack([eb, erb], axis=1).reshape(2 * m, n, d_tile)
+        b = a * eb + b  # inclusive = element o exclusive-prefix
+        a = a * ea
 
         h_all = a * h_carry[:][None] + b  # (chunk, N, Dt)
         y = jnp.sum(h_all * C_ref[0][:, :, None], axis=1)  # (chunk, Dt)
