@@ -165,21 +165,31 @@ class SSMixer(nn.Module):
 
 
 class MaIRBlock(nn.Module):
-    """RMB (mair_arch.py:346-390) == VSSBlock (mairunet_arch.py:332-380)."""
+    """RMB (mair_arch.py:346-390) == VSSBlock (mairunet_arch.py:332-380).
+
+    drop_path implements stochastic depth on the attention branch exactly
+    like timm's DropPath used by the reference (identity at inference /
+    when deterministic): per-sample Bernoulli keep, scaled by 1/keep."""
 
     dim: int
     d_state: int
     ssm_ratio: float
     mlp_ratio: float
     scan_chunk: int = 256
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, ids):
+    def __call__(self, x, ids, deterministic: bool = True):
         h = TorchLayerNorm(self.dim, name="ln_1")(x)
         attn = SSMixer(
             self.dim, self.d_state, self.ssm_ratio, self.scan_chunk,
             name="self_attention",
         )(h, ids)
+        if self.drop_path > 0.0 and not deterministic:
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, 1))
+            attn = attn * mask.astype(attn.dtype) / keep
         skip_scale = self.param("skip_scale", nn.initializers.ones, (self.dim,))
         x = x * skip_scale + attn
         h2 = TorchLayerNorm(self.dim, name="ln_2")(x)
@@ -201,9 +211,10 @@ class MaIR(nn.Module):
     scan_len: int = 4
     img_range: float = 1.0
     scan_chunk: int = 256
+    drop_path_rate: float = 0.0  # stochastic depth (reference default 0.1)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         if self.in_chans == 3:
             mean = jnp.asarray([0.4488, 0.4371, 0.4040], x.dtype)
         else:
@@ -215,14 +226,22 @@ class MaIR(nn.Module):
         ids, shift_ids = scan_ids_for(H, W, self.scan_len)
 
         h = TorchLayerNorm(self.embed_dim, name="patch_embed_norm")(xf)
+        total_depth = sum(self.depths)
+        dpr = [
+            self.drop_path_rate * d / max(total_depth - 1, 1)
+            for d in range(total_depth)
+        ]  # linspace decay rule (mair_arch.py:592)
+        blk_idx = 0
         for i, depth in enumerate(self.depths):
             g_in = h
             for j in range(depth):
                 blk = MaIRBlock(
                     self.embed_dim, self.d_state, self.ssm_ratio, self.mlp_ratio,
-                    self.scan_chunk, name=f"layers_{i}_blocks_{j}",
+                    self.scan_chunk, drop_path=dpr[blk_idx],
+                    name=f"layers_{i}_blocks_{j}",
                 )
-                h = blk(h, shift_ids if j % 2 else ids)
+                blk_idx += 1
+                h = blk(h, shift_ids if j % 2 else ids, deterministic)
             h = nn.Conv(self.embed_dim, (3, 3), padding=1, name=f"layers_{i}_conv")(h)
             h = h + g_in
         h = TorchLayerNorm(self.embed_dim, name="norm")(h)
