@@ -26,3 +26,31 @@ def test_pallas_scan_matches_xla(b, k, L, d, n, chunk, d_tile):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_proj_matches_composition():
+    from tpuir.ops.scan_pallas import selective_scan_fused_proj
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    b, k, L, d, n, r = 1, 4, 64, 24, 4, 2
+    xs = rng.randn(b, k, L, d).astype(np.float32)
+    wxp = (rng.randn(k, r + 2 * n, d) * 0.2).astype(np.float32)
+    wdt = (rng.randn(k, d, r) * 0.2).astype(np.float32)
+    A = -np.exp(rng.randn(k, d, n).astype(np.float32) * 0.3)
+    D = rng.randn(k, d).astype(np.float32)
+    bias = (rng.randn(k, d) * 0.2).astype(np.float32)
+
+    # composition: einsum projections then the reference scan
+    xdbl = np.einsum("bkld,kcd->bklc", xs, wxp)
+    dts = np.einsum("bklr,kdr->bkld", xdbl[..., :r], wdt)
+    Bs = xdbl[..., r : r + n]
+    Cs = xdbl[..., r + n :]
+    want = np.asarray(selective_scan(xs, dts, A, Bs, Cs, D, bias, chunk=16))
+
+    got = np.asarray(
+        selective_scan_fused_proj(
+            xs, wxp, wdt, A, D, bias, chunk=16, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

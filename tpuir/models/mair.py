@@ -106,14 +106,8 @@ class SSMixer(nn.Module):
         x_proj_w = self.param(
             "x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner)
         )
-        x_dbl = jnp.einsum(
-            "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
-        )
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
         dt_w = self.param("dt_projs_weight", nn.initializers.normal(0.02), (K, d_inner, R))
         dt_b = self.param("dt_projs_bias", nn.initializers.zeros, (K, d_inner))
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32)
-
         A_logs = self.param(
             "A_logs",
             lambda key, shape: jnp.tile(
@@ -127,18 +121,23 @@ class SSMixer(nn.Module):
         import os
 
         if jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
-            # Pallas kernel: whole log-depth chunk scan stays in VMEM
-            # (~3x over the XLA blocked scan on v5e, matches to 1e-5)
-            from tpuir.ops.scan_pallas import selective_scan_pallas
+            # Fully-fused Pallas kernel: the (delta, B, C) projections, the
+            # discretization and the whole in-VMEM Blelloch chunk scan; HBM
+            # sees only xs (read) and y (write). Matches the XLA path to 1e-5.
+            from tpuir.ops.scan_pallas import selective_scan_fused_proj
 
-            # d_tile: one lane tile for small channel counts (MaIRUNet
-            # levels), two for MaIR-CDN's d_inner=234 (fewer grid steps)
-            y = selective_scan_pallas(
-                xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
-                delta_softplus=True, chunk=256,
-                d_tile=256 if d_inner > 128 else 128,
+            y = selective_scan_fused_proj(
+                xs, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)),
+                Ds, dt_b, chunk=256,
             )
         else:
+            x_dbl = jnp.einsum(
+                "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32
+            )
             y = selective_scan(
                 xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
                 delta_softplus=True, chunk=self.scan_chunk,

@@ -149,3 +149,116 @@ def selective_scan_pallas(
         interpret=interpret,
     )(u_p, dt_p, A_p, B_p, C_p, D_p, bias_p)
     return y.reshape(b, k, Lp, Dp)[:, :, :L, :d]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused variant: the x_proj / dt_proj projections move inside the
+# kernel, so HBM sees only xs (read) and y (write). Requires the whole
+# channel dim in one lane tile (true for every released MaIR config).
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int):
+    def kernel(xs_ref, wxp_ref, wdt_ref, A_ref, D_ref, bias_ref, y_ref,
+               h_carry):
+        lc = pl.program_id(1)
+
+        @pl.when(lc == 0)
+        def _reset():
+            h_carry[:] = jnp.zeros_like(h_carry)
+
+        xs = xs_ref[0].astype(jnp.float32)  # (chunk, Dp)
+        xdbl = jax.lax.dot_general(
+            xs, wxp_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (chunk, R + 2N)
+        dt_raw = jax.lax.dot_general(
+            xdbl[:, :r], wdt_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (chunk, Dp)
+        Bc = xdbl[:, r : r + n]  # (chunk, N)
+        Cc = xdbl[:, r + n : r + 2 * n]
+        dt = jax.nn.softplus(dt_raw + bias_ref[0])
+        a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dp)
+        b = Bc[:, :, None] * (dt * xs)[:, None, :]
+
+        levels = []
+        ca, cb = a, b
+        while ca.shape[0] > 1:  # Blelloch upsweep
+            m = ca.shape[0] // 2
+            pa = ca.reshape(m, 2, n, d_tile)
+            pb = cb.reshape(m, 2, n, d_tile)
+            la, ra = pa[:, 0], pa[:, 1]
+            lb, rb = pb[:, 0], pb[:, 1]
+            levels.append((la, lb))
+            ca = ra * la
+            cb = ra * lb + rb
+        ea = jnp.ones((1, n, d_tile), jnp.float32)
+        eb = jnp.zeros((1, n, d_tile), jnp.float32)
+        for la, lb in reversed(levels):  # downsweep
+            era = la * ea
+            erb = la * eb + lb
+            m = ea.shape[0]
+            ea = jnp.stack([ea, era], axis=1).reshape(2 * m, n, d_tile)
+            eb = jnp.stack([eb, erb], axis=1).reshape(2 * m, n, d_tile)
+        b = a * eb + b
+        a = a * ea
+
+        h_all = a * h_carry[:][None] + b
+        y = jnp.sum(h_all * Cc[:, :, None], axis=1)
+        y_ref[0] = y + D_ref[0] * xs
+        h_carry[:] = h_all[chunk - 1]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def selective_scan_fused_proj(
+    xs: jnp.ndarray,  # (B, K, L, D) post-dwconv scanned sequences
+    x_proj_w: jnp.ndarray,  # (K, R + 2N, D)
+    dt_w: jnp.ndarray,  # (K, D, R)
+    A: jnp.ndarray,  # (K, D, N) (already -exp(A_log))
+    D: jnp.ndarray,  # (K, D)
+    delta_bias: jnp.ndarray,  # (K, D)
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, k, L, d = xs.shape
+    r_plus_2n = x_proj_w.shape[1]
+    n = A.shape[-1]
+    r = r_plus_2n - 2 * n
+    dp = (-d) % 128
+    lp = (-L) % chunk
+    Dp, Lp = d + dp, L + lp
+
+    xs_p = jnp.pad(
+        xs.astype(jnp.float32), ((0, 0), (0, 0), (0, lp), (0, dp))
+    ).reshape(b * k, Lp, Dp)
+    wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
+    wdt = jnp.pad(dt_w.astype(jnp.float32), ((0, 0), (0, dp), (0, 0)))
+    A_p = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, dp), (0, 0))).transpose(0, 2, 1)
+    D_p = jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
+    bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
+
+    y = pl.pallas_call(
+        _make_fused_kernel(chunk, n, r, Dp),
+        grid=(b * k, Lp // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk, Dp), lambda bk, lc: (bk, lc, 0)),
+            pl.BlockSpec((1, r_plus_2n, Dp), lambda bk, lc: (bk % k, 0, 0)),
+            pl.BlockSpec((1, Dp, r), lambda bk, lc: (bk % k, 0, 0)),
+            pl.BlockSpec((1, n, Dp), lambda bk, lc: (bk % k, 0, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % k, 0, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, Dp), lambda bk, lc: (bk, lc, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * k, Lp, Dp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, Dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xs_p, wxp, wdt, A_p, D_p, bias_p)
+    return y.reshape(b, k, Lp, Dp)[:, :, :L, :d]
