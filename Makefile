@@ -9,13 +9,13 @@ bench:
 	python bench.py
 
 download-weights:
-	./scripts/download_weights.sh
+	python scripts/download.py weights
 
 download-datasets:
-	./scripts/download_datasets.sh
+	python scripts/download.py datasets
 
 native:
-	g++ -O3 -march=native -shared -fPIC native/tileblend.cpp -o native/libtileblend.so
+	g++ -O3 -shared -fPIC native/tileblend.cpp -o native/libtileblend.so
 
 demo:
 	python scripts/demo.py

@@ -13,12 +13,18 @@ Usage:
 """
 
 import argparse
+import hashlib
 import os
 import subprocess
 import sys
 import zipfile
 
 GDRIVE = "https://drive.usercontent.google.com/download?id={id}&export=download&confirm=t"
+
+# Integrity pins, keyed by destination path. Fill in as artifacts are first
+# fetched on a trusted connection (`sha256sum <file>`); entries left absent
+# are still guarded against silent GDrive quota/HTML error pages below.
+CHECKSUMS: dict = {}
 
 WEIGHTS = {
     "rednet": [
@@ -89,6 +95,25 @@ DATASETS = {
 }
 
 
+def _verify(dest: str):
+    """Integrity gate: sha256 pin when known, plus an HTML-error-page sniff
+    (GDrive quota errors download as text/html with a 200)."""
+    with open(dest, "rb") as f:
+        head = f.read(512)
+    if head.lstrip()[:15].lower().startswith((b"<!doctype html", b"<html")):
+        os.remove(dest)
+        raise RuntimeError(f"{dest}: server returned an HTML page, not the file")
+    want = CHECKSUMS.get(dest)
+    if want is not None:
+        h = hashlib.sha256()
+        with open(dest, "rb") as f:
+            for blk in iter(lambda: f.read(1 << 20), b""):
+                h.update(blk)
+        if h.hexdigest() != want:
+            os.remove(dest)
+            raise RuntimeError(f"{dest}: sha256 mismatch (got {h.hexdigest()})")
+
+
 def fetch(url: str, dest: str):
     if os.path.exists(dest):
         print(f"[skip] {dest} exists")
@@ -96,12 +121,14 @@ def fetch(url: str, dest: str):
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     print(f"[get ] {dest}")
     subprocess.check_call(["wget", "-q", "--show-progress", url, "-O", dest])
+    _verify(dest)
 
 
 def fetch_zip(url: str, extract_to: str):
     os.makedirs(extract_to, exist_ok=True)
     tmp = os.path.join(extract_to, "_download.zip")
     subprocess.check_call(["wget", "-q", "--show-progress", url, "-O", tmp])
+    _verify(tmp)
     with zipfile.ZipFile(tmp) as zf:
         zf.extractall(extract_to)
     os.remove(tmp)

@@ -24,9 +24,10 @@ _tried = False
 
 def _build() -> bool:
     try:
+        # portable baseline flags: the artifact is never shipped (gitignored,
+        # built on first use), but keep it runnable if it ever is copied
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True,
         )
         return True

@@ -90,6 +90,11 @@ def selective_scan_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     assert delta_softplus, "kernel fuses softplus; raw-delta mode unused"
+    if chunk <= 0 or (chunk & (chunk - 1)) != 0:
+        raise ValueError(
+            f"chunk must be a power of two (Blelloch pairing halves the "
+            f"level each step); got {chunk}"
+        )
     b, k, L, d = u.shape
     n = A.shape[-1]
     dp = (-d) % d_tile
@@ -225,6 +230,11 @@ def selective_scan_fused_proj(
     chunk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    if chunk <= 0 or (chunk & (chunk - 1)) != 0:
+        raise ValueError(
+            f"chunk must be a power of two (Blelloch pairing halves the "
+            f"level each step); got {chunk}"
+        )
     b, k, L, d = xs.shape
     r_plus_2n = x_proj_w.shape[1]
     n = A.shape[-1]

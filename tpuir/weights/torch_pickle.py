@@ -77,11 +77,61 @@ def _rebuild_parameter(data, requires_grad=True, *args):
     return data
 
 
+class BlockedPickleError(pickle.UnpicklingError):
+    """A pickle global outside the explicit allowlist was requested.
+
+    Deliberately distinct from parse errors: ``load_torch_checkpoint`` must
+    NOT hand a checkpoint that tripped the blocklist to any less-restricted
+    loader (checkpoints come from third-party GDrive/Bitbucket URLs)."""
+
+
+def _np_reconstruct():
+    # numpy moved multiarray between numpy.core and numpy._core across 1.x/2.x
+    try:
+        from numpy._core.multiarray import _reconstruct, scalar
+    except ImportError:  # pragma: no cover
+        from numpy.core.multiarray import _reconstruct, scalar
+    return {"_reconstruct": _reconstruct, "scalar": scalar}
+
+
+def _safe_globals():
+    import argparse
+    import collections
+
+    np_ma = _np_reconstruct()
+    table = {
+        ("collections", "OrderedDict"): collections.OrderedDict,
+        # harmless containers actually seen in torch checkpoints
+        ("builtins", "set"): set,
+        ("builtins", "frozenset"): frozenset,
+        ("builtins", "complex"): complex,
+        ("builtins", "bytearray"): bytearray,
+        ("builtins", "slice"): slice,
+        ("__builtin__", "set"): set,
+        ("__builtin__", "frozenset"): frozenset,
+        ("__builtin__", "complex"): complex,
+        ("__builtin__", "bytearray"): bytearray,
+        ("__builtin__", "slice"): slice,
+        # option-dict payloads (e.g. DeblurGANv2 .h5 bundles its config)
+        ("argparse", "Namespace"): argparse.Namespace,
+        ("numpy", "ndarray"): np.ndarray,
+        ("numpy", "dtype"): np.dtype,
+    }
+    for mod in ("numpy.core.multiarray", "numpy._core.multiarray"):
+        table[(mod, "_reconstruct")] = np_ma["_reconstruct"]
+        table[(mod, "scalar")] = np_ma["scalar"]
+    return table
+
+
+_SAFE_GLOBALS = _safe_globals()
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
     """Unpickles torch checkpoints into plain Python + NumPy objects.
 
-    Only whitelisted torch globals are resolved (to stubs); anything else
-    raises, which keeps this safe against arbitrary-code pickles.
+    Globals resolve only through an explicit (module, name) allowlist —
+    never whole modules (a builtins-wide whitelist would expose eval/exec).
+    Anything else raises BlockedPickleError.
     """
 
     def __init__(self, file, storage_loader):
@@ -112,11 +162,11 @@ class _RestrictedUnpickler(pickle.Unpickler):
                 "bool",
             ):
                 return name
-            raise pickle.UnpicklingError(f"blocked torch global {module}.{name}")
-        if module in ("collections", "builtins", "numpy", "numpy.core.multiarray",
-                      "numpy._core.multiarray", "argparse", "__builtin__"):
-            return super().find_class(module, name)
-        raise pickle.UnpicklingError(f"blocked global {module}.{name}")
+            raise BlockedPickleError(f"blocked torch global {module}.{name}")
+        obj = _SAFE_GLOBALS.get((module, name))
+        if obj is not None:
+            return obj
+        raise BlockedPickleError(f"blocked global {module}.{name}")
 
     def persistent_load(self, pid):
         typename = pid[0]
@@ -166,14 +216,27 @@ class _DeferredTensor:
         self.stride = stride
 
 
+class _HeaderUnpickler(pickle.Unpickler):
+    """For the legacy-format header pickles (plain ints/strings/dicts):
+    resolves NO globals at all, so even the bytes before/after the main
+    payload cannot execute anything."""
+
+    def find_class(self, module, name):  # pragma: no cover - security gate
+        raise BlockedPickleError(f"blocked header global {module}.{name}")
+
+
+def _header_load(f):
+    return _HeaderUnpickler(f, encoding="latin1").load()
+
+
 def _load_legacy(path: str):
     """Pre-1.6 torch format: sequential pickles + raw storage data."""
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _header_load(f)
         if magic != 0x1950A86A20F9469CFC6C:
             raise pickle.UnpicklingError("not a legacy torch file")
-        pickle.load(f)  # protocol version
-        pickle.load(f)  # sys info
+        _header_load(f)  # protocol version
+        _header_load(f)  # sys info
         storage_types: Dict[str, str] = {}
 
         def storage_loader(storage_name, key, numel):
@@ -193,7 +256,7 @@ def _load_legacy(path: str):
 
         result = LegacyUnpickler(f, storage_loader).load()
         # After the pickle, the file lists the storage keys then raw data.
-        keys = pickle.load(f)
+        keys = _header_load(f)
         storages: Dict[str, np.ndarray] = {}
         for key in keys:
             storage_name = storage_types[str(key)]
@@ -230,11 +293,19 @@ def _walk(obj, fn):
 
 
 def load_torch_checkpoint(path: str) -> Any:
-    """Load a torch checkpoint into nested dicts of NumPy arrays."""
+    """Load a torch checkpoint into nested dicts of NumPy arrays.
+
+    Falls back to ``torch.load(weights_only=True)`` only on *structural*
+    parse failures (exotic container layouts the native reader doesn't
+    know). A BlockedPickleError never falls through: a checkpoint the
+    restricted reader rejected for safety must not reach a looser loader.
+    """
     try:
         if zipfile.is_zipfile(path):
             return _load_zip(path)
         return _load_legacy(path)
+    except BlockedPickleError:
+        raise
     except Exception:
         try:
             import torch
@@ -242,7 +313,7 @@ def load_torch_checkpoint(path: str) -> Any:
             raise RuntimeError(
                 f"could not parse {path} natively and torch is unavailable"
             ) from e
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        obj = torch.load(path, map_location="cpu", weights_only=True)
         return _torch_to_numpy(obj)
 
 
