@@ -12,12 +12,21 @@ TPU-first differences:
   * The tile grid yields patches of ONE uniform shape per image (edge tiles
     shift their origin back), so the whole grid is batched into a single
     (N, h, w, C) array and run through one compiled forward in fixed-size
-    chunks — no per-patch host<->device ping-pong, one XLA program per shape.
-  * The reference's per-call ``np.random.seed(0)`` means every patch gets the
-    same noise field; we synthesize it once on the host (bit-exact MT19937)
-    and add it to the whole batch.
-  * Padding/cropping/postprocess live inside the jitted step so XLA fuses
-    them with the model.
+    chunks. The compiled program's shape depends ONLY on
+    (batch, patch_h, patch_w, C) — never on the image size — so a dataset
+    with 50 distinct image sizes still compiles each model exactly once.
+    Chunks are dispatched asynchronously and fetched at the end, so device
+    compute overlaps host work and transfer latency.
+  * The reference's per-call ``np.random.seed(0)`` means every patch gets
+    the same noise field; it is synthesized once on the host (bit-exact
+    MT19937, float64 add — the reference's arithmetic) and applied to the
+    whole batch.
+  * Patch gather and Gaussian blend-stitch run through the native C++ host
+    library (native/tileblend.cpp) with a NumPy fallback; both reproduce
+    the reference's float32 accumulate order bit-for-bit.
+  * An optional ``compute_dtype`` (e.g. bfloat16) runs the model forward in
+    reduced precision for serving; parity mode (None) pins true float32
+    matmuls because XLA:TPU's default matmul precision is bf16 passes.
 """
 
 from __future__ import annotations
@@ -30,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .degrade import add_noise_batched, gaussian_noise_field
+from tpuir import native
+from .degrade import add_noise_batched
 from .image_io import normalize_image, restore_dtype
 from .tiling import gaussian_window, tile_indices
 
@@ -58,91 +68,6 @@ def pad_always_block(x: jnp.ndarray, block: int = 32) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="constant")
 
 
-def _device_tiled_pipeline(
-    apply_fn,
-    pad_factor,
-    pad_block,
-    postprocess,
-    coords,
-    ph: int,
-    pw: int,
-    out_ch: int,
-    h: int,
-    w: int,
-    batch: int,
-    compute_dtype=None,
-):
-    """Build the fully-on-device tiled pipeline for one (image, grid) shape.
-
-    Everything — patch gather, AWGN add, model forward (lax.map over
-    fixed-size chunks), Gaussian-window accumulate, weight division — runs
-    inside ONE jitted program, so the host sees a single image upload and a
-    single image download per call. Coordinates are static jit constants.
-    """
-    coords = tuple(coords)
-    n = len(coords)
-    n_pad = (-n) % batch
-    window = jnp.asarray(gaussian_window(max(ph, pw), max(ph, pw), out_ch)[:ph, :pw])
-
-    def pipeline(params, img, noise):
-        # img: (h, w, C) float32 on device; noise: (ph, pw, C) or None
-        patches = jnp.stack(
-            [
-                jax.lax.dynamic_slice(img, (hi, wi, 0), (ph, pw, img.shape[2]))
-                for hi, wi in coords
-            ]
-        )
-        if noise is not None:
-            patches = jnp.clip(patches + noise[None], 0.0, 1.0)
-        if n_pad:
-            patches = jnp.concatenate(
-                [patches, jnp.tile(patches[-1:], (n_pad, 1, 1, 1))], axis=0
-            )
-
-        def step(x):
-            hh, ww = x.shape[1], x.shape[2]
-            if compute_dtype is not None:
-                x = x.astype(compute_dtype)
-            if pad_factor:
-                x = pad_to_multiple(x, pad_factor, mode="reflect")
-            elif pad_block:
-                x = pad_always_block(x, pad_block)
-            if compute_dtype is None:
-                # parity mode: TPU XLA's default matmul/conv precision is
-                # bf16 passes (~1e-3 relative error per layer); force true
-                # float32 so the CSV matrix holds the 0.05 dB budget
-                with jax.default_matmul_precision("float32"):
-                    y = apply_fn(params, x)
-            else:
-                y = apply_fn(params, x)
-            y = y[:, :hh, :ww, :]
-            if postprocess is not None:
-                y = postprocess(y)
-            return y.astype(jnp.float32)
-
-        chunks = patches.reshape(-1, batch, ph, pw, patches.shape[-1])
-        preds = jax.lax.map(step, chunks)
-        preds = preds.reshape(-1, ph, pw, out_ch)[:n]
-
-        out = jnp.zeros((h, w, out_ch), jnp.float32)
-        wmap = jnp.zeros((h, w, out_ch), jnp.float32)
-        for i, (hi, wi) in enumerate(coords):
-            out = jax.lax.dynamic_update_slice(
-                out,
-                jax.lax.dynamic_slice(out, (hi, wi, 0), (ph, pw, out_ch))
-                + preds[i] * window,
-                (hi, wi, 0),
-            )
-            wmap = jax.lax.dynamic_update_slice(
-                wmap,
-                jax.lax.dynamic_slice(wmap, (hi, wi, 0), (ph, pw, out_ch)) + window,
-                (hi, wi, 0),
-            )
-        return out / jnp.maximum(wmap, 1e-8)
-
-    return jax.jit(pipeline)
-
-
 @dataclasses.dataclass
 class InferenceModel:
     """A model plus its engine hooks, as handed to the tiled engine.
@@ -163,15 +88,20 @@ class InferenceModel:
     postprocess: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
     batch_size: int = 8
     param_count: int = 0
-    device_pipeline: bool = True  # run the whole tiled loop inside one jit
-    compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for the perf mode
+    device_pipeline: bool = True  # kept for API compat; both paths identical now
+    compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for the serving mode
     extra: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         self._step_cache: dict = {}
 
     def _step(self):
-        key = "step"
+        """The one jitted program: cast -> pad -> forward -> crop -> postprocess.
+
+        Its compiled shape is (batch, patch_h, patch_w, C) only; jax.jit's
+        own cache handles the rare variants (images smaller than the patch).
+        """
+        key = ("step", self.compute_dtype)
         if key not in self._step_cache:
             pad_factor, pad_block, postprocess = (
                 self.pad_factor,
@@ -179,38 +109,57 @@ class InferenceModel:
                 self.postprocess,
             )
             apply_fn = self.apply_fn
+            compute_dtype = (
+                jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+            )
 
             def step(params, x):
                 h, w = x.shape[1], x.shape[2]
+                if compute_dtype is not None:
+                    x = x.astype(compute_dtype)
                 if pad_factor:
                     x = pad_to_multiple(x, pad_factor, mode="reflect")
                 elif pad_block:
                     x = pad_always_block(x, pad_block)
-                y = apply_fn(params, x)
+                if compute_dtype is None:
+                    # parity mode: TPU XLA's default matmul/conv precision is
+                    # bf16 passes (~1e-3 relative error per layer); force true
+                    # float32 so the CSV matrix holds the 0.05 dB budget
+                    with jax.default_matmul_precision("float32"):
+                        y = apply_fn(params, x)
+                else:
+                    y = apply_fn(params, x)
                 y = y[:, :h, :w, :]
                 if postprocess is not None:
                     y = postprocess(y)
-                return y
+                return y.astype(jnp.float32)
 
             self._step_cache[key] = jax.jit(step)
         return self._step_cache[key]
 
-    def forward_patches(self, patches: np.ndarray) -> np.ndarray:
-        """Run (N, h, w, C) through the jitted step in fixed-size chunks."""
+    def forward_patches(
+        self,
+        patches: np.ndarray,
+        progress_cb: Optional[Callable[[int, int], None]] = None,
+    ) -> np.ndarray:
+        """Run (N, h, w, C) through the jitted step in fixed-size chunks.
+
+        All chunks are dispatched before any result is fetched, so the
+        device pipeline stays full (JAX dispatch is asynchronous).
+        """
         step = self._step()
         n = patches.shape[0]
         bs = max(1, min(self.batch_size, n))
-        outs = []
+        pending = []
         for i in range(0, n, bs):
             chunk = patches[i : i + bs]
-            if chunk.shape[0] < bs:  # keep one compiled shape: pad the tail chunk
+            if chunk.shape[0] < bs:  # keep one compiled shape: pad the tail
                 reps = bs - chunk.shape[0]
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(reps, axis=0)], axis=0)
-                out = np.asarray(step(self.params, jnp.asarray(chunk)))[: n - i]
-            else:
-                out = np.asarray(step(self.params, jnp.asarray(chunk)))
-            outs.append(out)
-        return np.concatenate(outs, axis=0)
+            pending.append(step(self.params, jnp.asarray(chunk)))
+            if progress_cb is not None:
+                progress_cb(min(i + bs, n), n)
+        return np.concatenate([np.asarray(p) for p in pending], axis=0)[:n]
 
 
 def run_model_inference(
@@ -231,7 +180,7 @@ def run_model_inference(
     patch_size = model.patch_size if patch_size is None else patch_size
     patch_overlap = model.patch_overlap if patch_overlap is None else patch_overlap
 
-    img = model.normalize(input_img)
+    img = np.ascontiguousarray(model.normalize(input_img))
     h, w = img.shape[:2]
     out_ch = min(3, img.shape[2])
 
@@ -239,50 +188,17 @@ def run_model_inference(
     ph, pw = min(ps, h), min(ps, w)
     coords = [(hi, wi) for hi in h_idx_list for wi in w_idx_list]
 
-    if model.device_pipeline:
-        # One H2D (image) + one D2H (restored image) per call; the entire
-        # tiled loop (gather, AWGN, forward, blend) is a single XLA program.
-        key = ("pipe", h, w, ph, pw, tuple(coords),
-               need_degradation and noise_level is not None)
-        if key not in model._step_cache:
-            model._step_cache[key] = _device_tiled_pipeline(
-                model.apply_fn, model.pad_factor, model.pad_block,
-                model.postprocess, coords, ph, pw, out_ch, h, w,
-                max(1, min(model.batch_size, len(coords))),
-                jnp.dtype(model.compute_dtype) if model.compute_dtype else None,
-            )
-        noise = None
-        if need_degradation and noise_level is not None:
-            # float32 field; the clip keeps parity within 1 ulp of the
-            # reference's float64 in-place add (validated e2e in tests)
-            noise = jnp.asarray(
-                gaussian_noise_field((ph, pw, img.shape[2]), noise_level),
-                jnp.float32,
-            )
-        from tpuir.utils.profiling import maybe_trace
+    patches = native.extract_patches(img, coords, ph, pw)
+    if need_degradation and noise_level is not None:
+        # bit-exact float64 AWGN add (reference arithmetic), once per batch
+        patches = add_noise_batched(patches, noise_level)
 
-        with maybe_trace(f"engine_{model.name.replace(' ', '_')}"):
-            output_img = np.asarray(
-                model._step_cache[key](model.params, jnp.asarray(img), noise)
-            )
-        if progress_cb is not None:
-            progress_cb(len(coords), len(coords))
-    else:
-        # Host-side loop: bit-exact float64 AWGN add + reference accumulate
-        # order (kept as the parity fallback).
-        patches = np.stack([img[hi : hi + ps, wi : wi + ps, :] for hi, wi in coords])
-        if need_degradation and noise_level is not None:
-            patches = add_noise_batched(patches, noise_level)
-        preds = model.forward_patches(patches)
-        if progress_cb is not None:
-            progress_cb(len(coords), len(coords))
-        window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
-        output_img = np.zeros((h, w, out_ch), dtype=np.float32)
-        weight_map = np.zeros((h, w, out_ch), dtype=np.float32)
-        for (hi, wi), pred in zip(coords, preds):
-            output_img[hi : hi + ph, wi : wi + pw, :] += pred * window
-            weight_map[hi : hi + ph, wi : wi + pw, :] += window
-        output_img /= np.maximum(weight_map, 1e-8)
+    from tpuir.utils.profiling import maybe_trace
 
+    with maybe_trace(f"engine_{model.name.replace(' ', '_')}"):
+        preds = model.forward_patches(patches, progress_cb)
+
+    window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
+    output_img = native.blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
     output_img = restore_dtype(output_img, input_img)
     return output_img, (time.time() - start_time) * 1000.0

@@ -202,7 +202,11 @@ class Harness:
                     )
 
     def real_noise(self, models=("Restormer", "MaIR")):
-        loader = loaders.real_noise_dataset_loader("SIDD")
+        try:
+            loader = loaders.real_noise_dataset_loader("SIDD")
+        except FileNotFoundError:
+            print("SIDD validation data not found. Skipping real-noise suite.")
+            return
         for m in models:
             self._run_cell(
                 test_name="Real_Noise_Denoising", task_label="Denoising",
