@@ -177,6 +177,21 @@ def load_reference_mair_arch():
     )
 
 
+def load_reference_losses():
+    """Import the reference BasicSR losses module (losses/losses.py)."""
+    load_reference_mair_arch()  # provides mair.basicsr.utils.registry
+    base = "/root/reference/src/mair/basicsr"
+    if "mair.basicsr.losses.losses" in sys.modules:
+        return sys.modules["mair.basicsr.losses.losses"]
+    _ensure_pkg("mair.basicsr.losses", f"{base}/losses")
+    _load_by_path(
+        "mair.basicsr.losses.loss_util", f"{base}/losses/loss_util.py"
+    )
+    return _load_by_path(
+        "mair.basicsr.losses.losses", f"{base}/losses/losses.py"
+    )
+
+
 def load_reference_mairunet_arch():
     """Import the reference mairunet_arch.py (realDenoising fork)."""
     load_reference_mair_arch()  # provides mair.basicsr.utils.registry

@@ -35,3 +35,22 @@ def test_fused_block_matches_module(H, W, C, heads, ln_bias, row_tile):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_block_bf16_serving_mode_close():
+    """mm_bf16 serving mode: bf16 MXU matmuls with f32 accumulation must
+    track the float32 module within bf16 rounding (~0.4% relative)."""
+    H, W, C, heads = 16, 16, 16, 2
+    blk = TransformerBlock(C, heads, 2.66, False, True)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, H, W, C).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(params, x))
+    got = np.asarray(
+        fused_transformer_block(
+            x, params["params"], heads, True, mm_bf16=True, interpret=True
+        )
+    )
+    scale = np.abs(want).std() + np.abs(want).mean()
+    err = np.abs(got - want) / scale
+    assert err.max() < 0.05, err.max()  # worst case ~2% of signal scale
+    assert err.mean() < 5e-3

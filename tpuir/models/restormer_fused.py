@@ -37,7 +37,7 @@ def _conv(p, x, stride=1, groups=1):
     jax.jit,
     static_argnames=(
         "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
-        "dual_pixel_task", "row_tile", "interpret",
+        "dual_pixel_task", "row_tile", "mm_bf16", "interpret",
     ),
 )
 def apply(
@@ -49,6 +49,7 @@ def apply(
     ln_bias: bool = True,
     dual_pixel_task: bool = False,
     row_tile: int = 8,
+    mm_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     p = params["params"] if "params" in params else params
@@ -58,7 +59,7 @@ def apply(
         for i in range(n):
             h = fused_transformer_block(
                 h, p[f"{stage}_{i}"], n_heads, ln_bias,
-                row_tile=row_tile, interpret=interpret,
+                row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret,
             )
         return h
 
@@ -97,14 +98,17 @@ def apply(
 
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
-    interpret: bool = False,
+    mm_bf16: bool = False, interpret: bool = False,
 ):
-    """apply_fn(params, x) for the engine's InferenceModel."""
+    """apply_fn(params, x) for the engine's InferenceModel.
+
+    ``mm_bf16=True`` selects the serving-precision mode (bf16 MXU matmuls
+    with float32 accumulation inside the fused blocks)."""
 
     def fn(params, x):
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
-            row_tile=row_tile, interpret=interpret,
+            row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret,
         )
 
     return fn

@@ -86,8 +86,24 @@ def _dwconv(t, w9):
 
 
 def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
-                 H_real: int, ln_bias: bool, out_dtype):
+                 H_real: int, ln_bias: bool, out_dtype, mm_bf16: bool):
     hc = C // heads
+
+    if mm_bf16:
+        # serving mode: single-pass bf16 MXU matmuls with float32 accumulation
+        def _mm(a, b, dims):
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), (dims, ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    else:
+        # parity mode: true-float32 (6-pass) matmuls
+        def _mm(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
     def kernel(x_ref, w_qkv, dw_qkv, temp, w_proj, ln1, ln2, w_fin, dw_fin,
                w_fout, out_ref, prev_tile, pp_rows, g_acc, qs_acc, ks_acc,
@@ -120,10 +136,8 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
             )  # (RT+4, W, C); row j <-> real row T*RT + j - 2
 
             y = _ln(x_t, ln1[0], ln1[1], ln_bias)
-            qkv = jax.lax.dot_general(
-                y.reshape(-1, C), w_qkv[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+            qkv = _mm(
+                y.reshape(-1, C), w_qkv[:], ((1,), (0,))
             ).reshape(RT + 4, W, 3 * C)
             # rows outside the real image must be exactly the dwconv's zero
             # padding (phantom rows pick up values through LN bias otherwise)
@@ -143,11 +157,7 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                 for h in range(heads):
                     qh = qf[:, h * hc : (h + 1) * hc]
                     kh = kf[:, h * hc : (h + 1) * hc]
-                    g_acc[h] += jax.lax.dot_general(
-                        qh, kh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
+                    g_acc[h] += _mm(qh, kh, ((0,), (0,)))
                     qs_acc[h] += jnp.sum(qh * qh, axis=0, keepdims=True)
                     ks_acc[h] += jnp.sum(kh * kh, axis=0, keepdims=True)
 
@@ -165,26 +175,14 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                 outs = []
                 for h in range(heads):
                     vh = vf[:, h * hc : (h + 1) * hc]
-                    outs.append(
-                        jax.lax.dot_general(
-                            vh, attn[h], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                        )
-                    )
+                    outs.append(_mm(vh, attn[h], ((1,), (1,))))
                 ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
-                ao = jax.lax.dot_general(
-                    ao, w_proj[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                ).reshape(RT + 2, W, C)
+                ao = _mm(ao, w_proj[:], ((1,), (0,))).reshape(RT + 2, W, C)
                 x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dq rows)
 
                 y2 = _ln(x2, ln2[0], ln2[1], ln_bias)
-                h1 = jax.lax.dot_general(
-                    y2.reshape(-1, C), w_fin[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                h1 = _mm(
+                    y2.reshape(-1, C), w_fin[:], ((1,), (0,))
                 ).reshape(RT + 2, W, 2 * hidden)
                 irow = jax.lax.broadcasted_iota(jnp.int32, (RT + 2, 1, 1), 0)
                 real_i = T * RT + irow - 1
@@ -193,11 +191,8 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                 ).astype(jnp.float32)
                 hd = _dwconv(h1, dw_fin[:])  # (RT, W, 2*hidden)
                 gated = _gelu_exact(hd[:, :, :hidden]) * hd[:, :, hidden:]
-                out_t = jax.lax.dot_general(
-                    gated.reshape(-1, hidden), w_fout[:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                out_t = _mm(
+                    gated.reshape(-1, hidden), w_fout[:], ((1,), (0,))
                 ).reshape(RT, W, C)
                 out_ref[0] = (x2[1 : RT + 1] + out_t).astype(out_dtype)
 
@@ -215,7 +210,8 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "ln_bias", "row_tile", "interpret")
+    jax.jit,
+    static_argnames=("heads", "ln_bias", "row_tile", "mm_bf16", "interpret"),
 )
 def fused_transformer_block(
     x: jnp.ndarray,
@@ -223,11 +219,17 @@ def fused_transformer_block(
     heads: int,
     ln_bias: bool,
     row_tile: int = 8,
+    mm_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: (B, H, W, C). p holds the converted TransformerBlock params:
     norm1/norm2 {weight[,bias]}, attn {qkv, qkv_dwconv, project_out,
     temperature}, ffn {project_in, dwconv, project_out} (bias-free convs).
+
+    ``mm_bf16=True`` is the serving-precision mode: matmuls run as
+    single-pass bf16 MXU ops with float32 accumulation (LN, softmax,
+    residuals, and depthwise convs stay float32). Default is the parity
+    mode (true-float32 matmuls).
     """
     B, H, W, C = x.shape
     hidden = p["ffn"]["project_in"]["kernel"].shape[-1] // 2
@@ -250,8 +252,9 @@ def fused_transformer_block(
     dw_fin = p["ffn"]["dwconv"]["kernel"].reshape(9, 2 * hidden)
     w_fout = p["ffn"]["project_out"]["kernel"].reshape(hidden, C)
 
-    kernel = _make_kernel(RT, W, C, heads, hidden, H, ln_bias, x.dtype)
+    kernel = _make_kernel(RT, W, C, heads, hidden, H, ln_bias, x.dtype, mm_bf16)
     hc = C // heads
+    mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
     vmem = lambda shape: pl.BlockSpec(shape, lambda b, ph, rt: tuple([0] * len(shape)))  # noqa: E731
     n_rt = n_tiles + 1  # one-tile lag
 
@@ -291,9 +294,10 @@ def fused_transformer_block(
         ),
         interpret=interpret,
     )(
-        xp, w_qkv.astype(x.dtype), dw_qkv.astype(jnp.float32), temp,
-        w_proj.astype(jnp.float32), ln_pack(p["norm1"]), ln_pack(p["norm2"]),
-        w_fin.astype(jnp.float32), dw_fin.astype(jnp.float32),
-        w_fout.astype(jnp.float32),
+        xp, w_qkv.astype(mm_dtype if mm_bf16 else x.dtype),
+        dw_qkv.astype(jnp.float32), temp,
+        w_proj.astype(mm_dtype), ln_pack(p["norm1"]), ln_pack(p["norm2"]),
+        w_fin.astype(mm_dtype), dw_fin.astype(jnp.float32),
+        w_fout.astype(mm_dtype),
     )
     return out[:, :H]

@@ -29,7 +29,17 @@ def weighted_loss(elementwise, pred, target, weight=None, reduction="mean"):
     loss = elementwise(pred, target)
     if weight is not None:
         loss = loss * weight
-    return _reduce(loss, reduction)
+    if weight is None or reduction == "sum":
+        return _reduce(loss, reduction)
+    if reduction == "mean":
+        # mean over the weighted region (reference loss_util.py:44-52):
+        # denominator is the weight sum, with a single-channel weight
+        # broadcasting across the channel axis (NHWC here, NCHW there)
+        denom = jnp.sum(weight)
+        if loss.ndim >= 1 and weight.shape[-1] == 1 and loss.shape[-1] > 1:
+            denom = denom * loss.shape[-1]
+        return jnp.sum(loss) / denom
+    return loss  # 'none' with weight: weighted, unreduced
 
 
 def l1_loss(pred, target, weight=None, loss_weight=1.0, reduction="mean"):
@@ -103,6 +113,74 @@ def gan_loss(pred, target_is_real: bool, gan_type: str = "vanilla",
     return loss if is_disc else loss * loss_weight
 
 
+def multi_scale_gan_loss(preds, target_is_real: bool, gan_type: str = "vanilla",
+                         real_label_val: float = 1.0, fake_label_val: float = 0.0,
+                         is_disc: bool = False, loss_weight: float = 1.0):
+    """MultiScaleGANLoss (reference losses.py:364-389): ``preds`` is a list
+    of per-scale predictions (or a list of per-layer lists, in which case
+    only the last layer of each scale enters the GAN loss); the result is
+    the mean over scales. A bare array falls through to :func:`gan_loss`."""
+    if isinstance(preds, (list, tuple)):
+        total = 0.0
+        for pred_i in preds:
+            if isinstance(pred_i, (list, tuple)):
+                pred_i = pred_i[-1]
+            total = total + gan_loss(
+                pred_i, target_is_real, gan_type, real_label_val,
+                fake_label_val, is_disc, loss_weight,
+            )
+        return total / len(preds)
+    return gan_loss(preds, target_is_real, gan_type, real_label_val,
+                    fake_label_val, is_disc, loss_weight)
+
+
+def gan_feat_loss(pred_fake, pred_real, criterion: str = "l1",
+                  loss_weight: float = 1.0, reduction: str = "mean"):
+    """Feature-matching loss (reference losses.py:460-492): ``pred_fake``
+    and ``pred_real`` are per-discriminator lists of per-layer feature
+    lists; the last entry of each (the final prediction) is excluded.
+    ``pred_real`` features are treated as constants (the reference
+    detaches them)."""
+    if criterion == "l1":
+        op = l1_loss
+    elif criterion == "l2":
+        op = mse_loss
+    elif criterion == "charbonnier":
+        op = charbonnier_loss
+    else:
+        raise ValueError(
+            f"Unsupported loss mode: {criterion}. Supported ones are: "
+            "l1|l2|charbonnier"
+        )
+    num_d = len(pred_fake)
+    loss = 0.0
+    for i in range(num_d):
+        for j in range(len(pred_fake[i]) - 1):
+            real_const = jax.lax.stop_gradient(pred_real[i][j])
+            # the reference applies loss_weight inside the criterion AND
+            # multiplies the total by it again (losses.py:470-492) — that
+            # double application is the published behavior, so keep it
+            loss = loss + op(pred_fake[i][j], real_const,
+                             loss_weight=loss_weight,
+                             reduction=reduction) / num_d
+    return loss * loss_weight
+
+
+def g_path_regularize(path_grad, mean_path_length, decay: float = 0.01):
+    """StyleGAN2 path-length regularizer (reference losses.py:409-419),
+    given ``path_grad`` = d((fake*noise).sum())/d(latents) with shape
+    (B, n_latents, latent_dim) — JAX computes gradients outside the loss.
+    Returns (path_penalty, path_lengths_mean, updated_mean_path_length)."""
+    path_lengths = jnp.sqrt(jnp.mean(jnp.sum(path_grad**2, axis=2), axis=1))
+    path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
+    path_penalty = jnp.mean((path_lengths - jax.lax.stop_gradient(path_mean)) ** 2)
+    return (
+        path_penalty,
+        jax.lax.stop_gradient(jnp.mean(path_lengths)),
+        jax.lax.stop_gradient(path_mean),
+    )
+
+
 def r1_penalty(real_grad, real_img=None):
     """R1 gradient penalty given d(D)/d(real) (losses.py r1_penalty)."""
     return jnp.mean(jnp.sum(real_grad**2, axis=(1, 2, 3)))
@@ -122,14 +200,27 @@ LOSS_REGISTRY = {
     "CharbonnierLoss": charbonnier_loss,
     "PSNRLoss": psnr_loss,
     "WeightedTVLoss": weighted_tv_loss,
+    "GANLoss": gan_loss,
+    "MultiScaleGANLoss": multi_scale_gan_loss,
+    "GANFeatLoss": gan_feat_loss,
 }
 
 
 def build_loss(opt: dict):
-    """Build a loss closure from a BasicSR-style pixel_opt dict."""
+    """Build a loss closure from a BasicSR-style loss opt dict.
+
+    Mirrors the reference's ``build_loss`` registry dispatch
+    (basicsr/losses/__init__.py): ``type`` selects the loss, the remaining
+    keys become keyword arguments. GAN losses (``GANLoss``,
+    ``MultiScaleGANLoss``) yield closures called as
+    ``loss(pred, target_is_real, is_disc=...)``; ``GANFeatLoss`` as
+    ``loss(pred_fake, pred_real)``."""
     import inspect
 
     opt = dict(opt)
     fn = LOSS_REGISTRY[opt.pop("type")]
     accepted = set(inspect.signature(fn).parameters)
+    unknown = set(opt) - accepted
+    if unknown:
+        raise ValueError(f"unknown option keys for {fn.__name__}: {sorted(unknown)}")
     return partial(fn, **{k: v for k, v in opt.items() if k in accepted})
