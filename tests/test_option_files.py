@@ -1,0 +1,135 @@
+"""Every shipped option YAML must parse and build its network + model
+(VERDICT r1 item 7), and the training configs must drive a tiny train run
+end-to-end — including the progressive-learning schedule the Restormer
+training configs carry (reference realDenoising basicsr/train.py:216-273).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import yaml
+
+from tpuir.registry import ARCH_REGISTRY
+from tpuir.train.options import ordered_yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ALL_YMLS = sorted(
+    glob.glob(os.path.join(REPO, "options", "*", "*.yml"))
+)
+
+
+@pytest.mark.parametrize("path", ALL_YMLS, ids=[os.path.basename(p) for p in ALL_YMLS])
+def test_option_file_parses_and_network_builds(path):
+    import tpuir.train  # noqa: F401  (registers archs/datasets/models)
+
+    with open(path) as f:
+        opt = yaml.load(f, Loader=ordered_yaml()[0])
+    assert opt["name"] == os.path.splitext(os.path.basename(path))[0]
+    assert opt["model_type"] in ("SRModel", "MambaIRModel", "MaIRPlusModel",
+                                 "ImageCleanModel")
+    net_opt = dict(opt["network_g"])
+    net_type = net_opt.pop("type")
+    module = ARCH_REGISTRY.get(net_type)(**net_opt)
+    # the flax module must initialize at a small spatial size
+    params = module.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 16, 16, net_opt.get("inp_channels", net_opt.get("in_chans", 3))),
+                 np.float32),
+    )
+    assert params
+
+
+def test_progressive_schedule_stages():
+    from tpuir.train.pipeline import ProgressiveSchedule
+
+    ds_opt = {
+        "iters": [10, 10, 10],
+        "mini_batch_sizes": [4, 2, 1],
+        "gt_sizes": [8, 12, 16],
+        "gt_size": 16,
+        "batch_size_per_gpu": 4,
+    }
+    sched = ProgressiveSchedule(ds_opt, scale=1, seed=0)
+    assert sched.enabled
+    assert sched.stage(1) == 0 and sched.stage(10) == 0
+    assert sched.stage(11) == 1 and sched.stage(20) == 1
+    assert sched.stage(21) == 2 and sched.stage(35) == 2  # clamps at last
+
+    batch = {
+        "lq": np.random.RandomState(0).rand(4, 16, 16, 3).astype(np.float32),
+        "gt": np.random.RandomState(1).rand(4, 16, 16, 3).astype(np.float32),
+    }
+    b0 = sched(batch, 5)
+    assert b0["lq"].shape == (4, 8, 8, 3) and b0["gt"].shape == (4, 8, 8, 3)
+    b1 = sched(batch, 15)
+    assert b1["lq"].shape == (2, 12, 12, 3)
+    b2 = sched(batch, 25)
+    assert b2["lq"].shape == (1, 16, 16, 3)
+    # the crop window is identical for lq and gt at scale 1
+    sched2 = ProgressiveSchedule(ds_opt, scale=1, seed=3)
+    b = sched2(batch, 5)
+    found = False
+    for x0 in range(9):
+        for y0 in range(9):
+            if np.array_equal(b["lq"], batch["lq"][:4, x0:x0+8, y0:y0+8, :][
+                    [int(i) for i in range(4)]][:b["lq"].shape[0]]):
+                got_gt = batch["gt"][:, x0:x0+8, y0:y0+8, :]
+                found = np.array_equal(b["gt"], got_gt[:b["gt"].shape[0]])
+    assert found
+
+
+def test_tiny_progressive_train(tmp_path):
+    """A 12-iter progressive training run switches patch/batch stages."""
+    from tpuir.train.pipeline import train_pipeline
+
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        cv2.imwrite(str(gt_dir / f"{i}.png"),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+    opt = {
+        "name": "unit_progressive",
+        "model_type": "SRModel",
+        "scale": 1,
+        "manual_seed": 7,
+        "is_train": True,
+        "datasets": {
+            "train": {
+                "name": "toy", "type": "PairedImageDataset",
+                "task": "denoising_color", "noise": 15,
+                "dataroot_gt": str(gt_dir), "dataroot_lq": str(gt_dir),
+                "phase": "train", "scale": 1, "gt_size": 24,
+                "use_hflip": False, "use_rot": False,
+                "batch_size_per_gpu": 2, "use_shuffle": True,
+                "dataset_enlarge_ratio": 2,
+                "mini_batch_sizes": [2, 1],
+                "iters": [6, 6],
+                "gt_sizes": [16, 24],
+            },
+        },
+        "network_g": {"type": "DnCNN", "in_nc": 3, "out_nc": 3, "nc": 8, "nb": 3},
+        "path": {"models": str(tmp_path / "m"), "training_states": str(tmp_path / "s"),
+                 "log": None},
+        "train": {
+            "total_iter": 12,
+            "use_grad_clip": False,
+            "optim_g": {"type": "AdamW", "lr": 1e-3, "weight_decay": 0,
+                        "betas": [0.9, 0.999]},
+            "scheduler": {"type": "MultiStepRestartLR", "milestones": [100],
+                          "gamma": 0.5},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1, "reduction": "mean"},
+        },
+        "val": {},
+        "logger": {"print_freq": 100, "save_checkpoint_freq": 100,
+                   "use_tb_logger": False},
+    }
+    result = train_pipeline(str(tmp_path), opt)
+    assert result["iter"] == 12

@@ -39,7 +39,13 @@ except ImportError:  # pragma: no cover
 
 
 def paired_random_crop(img_gt, img_lq, gt_patch_size: int, scale: int, rng=random):
-    h_lq, w_lq = img_lq.shape[:2]
+    """Paired crop; ``img_gt``/``img_lq`` may each be one array or a list of
+    same-size arrays (video frames), like the reference transforms.py:26-95."""
+    gt_is_list = isinstance(img_gt, list)
+    lq_is_list = isinstance(img_lq, list)
+    gts = img_gt if gt_is_list else [img_gt]
+    lqs = img_lq if lq_is_list else [img_lq]
+    h_lq, w_lq = lqs[0].shape[:2]
     lq_patch_size = gt_patch_size // scale
     if h_lq < lq_patch_size or w_lq < lq_patch_size:
         raise ValueError(
@@ -47,12 +53,12 @@ def paired_random_crop(img_gt, img_lq, gt_patch_size: int, scale: int, rng=rando
         )
     top = rng.randint(0, h_lq - lq_patch_size)
     left = rng.randint(0, w_lq - lq_patch_size)
-    img_lq = img_lq[top : top + lq_patch_size, left : left + lq_patch_size, ...]
+    lqs = [im[top : top + lq_patch_size, left : left + lq_patch_size, ...]
+           for im in lqs]
     top_gt, left_gt = top * scale, left * scale
-    img_gt = img_gt[
-        top_gt : top_gt + gt_patch_size, left_gt : left_gt + gt_patch_size, ...
-    ]
-    return img_gt, img_lq
+    gts = [im[top_gt : top_gt + gt_patch_size, left_gt : left_gt + gt_patch_size, ...]
+           for im in gts]
+    return (gts if gt_is_list else gts[0]), (lqs if lq_is_list else lqs[0])
 
 
 def augment(imgs: List[np.ndarray], hflip=True, rotation=True, rng=random):
@@ -103,6 +109,19 @@ def _imread(path: str, flag="color", float32=True):
     img = cv2.imread(path, mode)
     if img is None:
         raise FileNotFoundError(path)
+    if float32:
+        img = img.astype(np.float32) / 255.0
+    return img
+
+
+def imfrombytes(content: bytes, flag="color", float32=False):
+    """Decode an image from FileClient bytes (reference utils/img_util.py)."""
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("OpenCV required for the training data stack")
+    mode = cv2.IMREAD_GRAYSCALE if flag == "grayscale" else cv2.IMREAD_COLOR
+    img = cv2.imdecode(np.frombuffer(content, np.uint8), mode)
+    if img is None:
+        raise ValueError("imfrombytes: decode failed")
     if float32:
         img = img.astype(np.float32) / 255.0
     return img

@@ -10,8 +10,11 @@ from __future__ import annotations
 
 import glob
 import os
+import random
 import time
 from typing import Dict, Optional
+
+import numpy as np
 
 from tpuir.train.data import EnlargedEpochIterator, build_dataset
 from tpuir.train.logging_utils import (
@@ -67,6 +70,56 @@ def create_train_val_dataloader(opt: Dict, logger):
     return train_loader, val_loaders
 
 
+class ProgressiveSchedule:
+    """Progressive-learning batch shaper (reference realDenoising
+    basicsr/train.py:216-273): the training run is split into stages by
+    cumulative ``iters``; stage j draws ``mini_batch_sizes[j]`` samples
+    from the loader batch and takes a random ``gt_sizes[j]`` crop. Enabled
+    only when the train dataset opt carries all three keys (the Restormer
+    and MaIR-RealDN training configs do)."""
+
+    def __init__(self, ds_opt: Dict, scale: int = 1, seed: int = 0):
+        self.iters = ds_opt.get("iters")
+        self.batch_sizes = ds_opt.get("mini_batch_sizes")
+        self.gt_sizes = ds_opt.get("gt_sizes")
+        self.gt_size = ds_opt.get("gt_size")
+        self.batch = ds_opt.get("batch_size_per_gpu", 8)
+        self.scale = scale
+        self.enabled = bool(self.iters and self.batch_sizes and self.gt_sizes)
+        self.groups = np.cumsum(self.iters) if self.enabled else None
+        self.rng = random.Random(seed)
+        self._announced = set()
+
+    def stage(self, current_iter: int) -> int:
+        j = int(np.searchsorted(self.groups, current_iter, side="left"))
+        return min(j, len(self.groups) - 1)
+
+    def __call__(self, batch: Dict, current_iter: int, logger=None) -> Dict:
+        if not self.enabled:
+            return batch
+        j = self.stage(current_iter)
+        mini_gt, mini_bs = int(self.gt_sizes[j]), int(self.batch_sizes[j])
+        if logger is not None and j not in self._announced:
+            self._announced.add(j)
+            logger.info(
+                f"Progressive stage {j}: patch {mini_gt}, batch {mini_bs}"
+            )
+        lq, gt = batch["lq"], batch["gt"]
+        if mini_bs < lq.shape[0]:
+            idx = self.rng.sample(range(lq.shape[0]), k=mini_bs)
+            lq, gt = lq[idx], gt[idx]
+        if self.gt_size and mini_gt < self.gt_size:
+            # NHWC here (reference crops NCHW at train.py:266-272)
+            x0 = int((self.gt_size - mini_gt) * self.rng.random())
+            y0 = int((self.gt_size - mini_gt) * self.rng.random())
+            lq = lq[:, x0 : x0 + mini_gt, y0 : y0 + mini_gt, :]
+            s = self.scale
+            gt = gt[:, x0 * s : (x0 + mini_gt) * s, y0 * s : (y0 + mini_gt) * s, :]
+        out = dict(batch)
+        out["lq"], out["gt"] = np.ascontiguousarray(lq), np.ascontiguousarray(gt)
+        return out
+
+
 def train_pipeline(root_path: str, opt: Dict) -> Dict:
     logger = get_root_logger(
         log_file=None
@@ -97,6 +150,11 @@ def train_pipeline(root_path: str, opt: Dict) -> Dict:
 
     val_opt = opt.get("val") or {}
     logger_opt = opt.get("logger") or {}
+    progressive = ProgressiveSchedule(
+        (opt.get("datasets") or {}).get("train") or {},
+        scale=opt.get("scale", 1),
+        seed=opt.get("manual_seed", 0) or 0,
+    )
     epoch = start_epoch
     done = current_iter >= total_iter
     while not done:
@@ -109,6 +167,7 @@ def train_pipeline(root_path: str, opt: Dict) -> Dict:
                 done = True
                 break
             current_iter += 1
+            batch = progressive(batch, current_iter, logger)
             log_vars = model.optimize_parameters(batch)
             iter_timer.record()
             if current_iter == 1:
