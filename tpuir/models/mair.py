@@ -82,6 +82,8 @@ class SSMixer(nn.Module):
     d_state: int = 16
     expand: float = 2.0
     scan_chunk: int = 256
+    scan_io_dtype: str = "float32"  # bf16 halves gather/scan HBM traffic
+    # in serving mode; the scan math itself stays float32 in-kernel
 
     @nn.compact
     def __call__(self, x, ids):
@@ -92,6 +94,7 @@ class SSMixer(nn.Module):
         K = 4
         L = H * W
         scan_ids, inv_ids = ids
+        io_dtype = jnp.dtype(self.scan_io_dtype)
 
         xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
         x_, z = jnp.split(xz, 2, axis=-1)
@@ -100,8 +103,15 @@ class SSMixer(nn.Module):
         )(x_)
         x_ = nn.silu(x_)
 
-        xf = x_.reshape(B, L, d_inner)
-        xs = jnp.take(xf, scan_ids, axis=1)  # (B, K, L, D)
+        import os as _os
+
+        _surgery = _os.environ.get("TPUIR_MAIR_SURGERY", "")  # benchmark hook
+
+        xf = x_.reshape(B, L, d_inner).astype(io_dtype)
+        if _surgery == "nogather":
+            xs = jnp.broadcast_to(xf[:, None], (B, K, L, d_inner))
+        else:
+            xs = jnp.take(xf, scan_ids, axis=1)  # (B, K, L, D)
 
         x_proj_w = self.param(
             "x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner)
@@ -120,7 +130,9 @@ class SSMixer(nn.Module):
 
         import os
 
-        if jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
+        if _surgery == "noscan":
+            y = xs.astype(jnp.float32)
+        elif jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
             # Fully-fused Pallas kernel: the (delta, B, C) projections, the
             # discretization and the whole in-VMEM Blelloch chunk scan; HBM
             # sees only xs (read) and y (write). Matches the XLA path to 1e-5.
@@ -131,6 +143,7 @@ class SSMixer(nn.Module):
                 Ds, dt_b, chunk=256,
             )
         else:
+            xs = xs.astype(jnp.float32)
             x_dbl = jnp.einsum(
                 "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
             )
@@ -154,10 +167,14 @@ class SSMixer(nn.Module):
         y = y * gates[:, :, None, :]
 
         # Inverse NSS gather per direction, then sum the 4 directions.
-        y = jnp.take_along_axis(y, inv_ids[None, :, :, None], axis=2)
-        y = jnp.sum(y, axis=1)  # (B, L, D)
+        y = y.astype(io_dtype)
+        if _surgery == "nogather":
+            y = jnp.sum(y, axis=1)
+        else:
+            y = jnp.take_along_axis(y, inv_ids[None, :, :, None], axis=2)
+            y = jnp.sum(y, axis=1)  # (B, L, D)
 
-        y = TorchLayerNorm(d_inner, name="out_norm")(y)
+        y = TorchLayerNorm(d_inner, name="out_norm")(y.astype(jnp.float32))
         y = y * nn.silu(z.reshape(B, L, d_inner))
         y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
         return y.reshape(B, H, W, self.d_model).astype(x.dtype)
@@ -176,13 +193,14 @@ class MaIRBlock(nn.Module):
     mlp_ratio: float
     scan_chunk: int = 256
     drop_path: float = 0.0
+    scan_io_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, ids, deterministic: bool = True):
         h = TorchLayerNorm(self.dim, name="ln_1")(x)
         attn = SSMixer(
             self.dim, self.d_state, self.ssm_ratio, self.scan_chunk,
-            name="self_attention",
+            scan_io_dtype=self.scan_io_dtype, name="self_attention",
         )(h, ids)
         if self.drop_path > 0.0 and not deterministic:
             keep = 1.0 - self.drop_path
@@ -211,6 +229,7 @@ class MaIR(nn.Module):
     img_range: float = 1.0
     scan_chunk: int = 256
     drop_path_rate: float = 0.0  # stochastic depth (reference default 0.1)
+    scan_io_dtype: str = "float32"  # 'bfloat16' = serving mode scan IO
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -237,6 +256,7 @@ class MaIR(nn.Module):
                 blk = MaIRBlock(
                     self.embed_dim, self.d_state, self.ssm_ratio, self.mlp_ratio,
                     self.scan_chunk, drop_path=dpr[blk_idx],
+                    scan_io_dtype=self.scan_io_dtype,
                     name=f"layers_{i}_blocks_{j}",
                 )
                 blk_idx += 1

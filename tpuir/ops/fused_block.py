@@ -105,9 +105,9 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-    def kernel(x_ref, w_qkv, dw_qkv, temp, w_proj, ln1, ln2, w_fin, dw_fin,
-               w_fout, out_ref, prev_tile, pp_rows, g_acc, qs_acc, ks_acc,
-               attn):
+    def kernel(x_ref, w_qk, dw_qk, w_v, dw_v, temp, w_proj, ln1, ln2, w_fin,
+               dw_fin, w_fout, out_ref, prev_tile, pp_rows, g_acc, qs_acc,
+               ks_acc, attn):
         ph = pl.program_id(1)
         rt = pl.program_id(2)
         n_rt = pl.num_programs(2)  # = n_tiles + 1 (one-tile lag)
@@ -136,24 +136,27 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
             )  # (RT+4, W, C); row j <-> real row T*RT + j - 2
 
             y = _ln(x_t, ln1[0], ln1[1], ln_bias)
-            qkv = _mm(
-                y.reshape(-1, C), w_qkv[:], ((1,), (0,))
-            ).reshape(RT + 4, W, 3 * C)
             # rows outside the real image must be exactly the dwconv's zero
             # padding (phantom rows pick up values through LN bias otherwise)
             jrow = jax.lax.broadcasted_iota(jnp.int32, (RT + 4, 1, 1), 0)
             real_j = T * RT + jrow - 2
-            qkv = qkv * jnp.logical_and(real_j >= 0, real_j < H_real).astype(
+            row_ok = jnp.logical_and(real_j >= 0, real_j < H_real).astype(
                 jnp.float32
             )
-            dq = _dwconv(qkv, dw_qkv[:])  # (RT+2, W, 3C); row i <-> x_t row i+1
 
+            # phase 0 only needs q,k (attention stats); phase 1 only needs v
+            # — splitting the projection halves the qkv matmul+dwconv work
+            # versus recomputing all three in both passes.
             @pl.when(ph == 0)
             def _stats():
+                qk = _mm(
+                    y.reshape(-1, C), w_qk[:], ((1,), (0,))
+                ).reshape(RT + 4, W, 2 * C) * row_ok
+                dqk = _dwconv(qk, dw_qk[:])  # (RT+2, W, 2C)
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, (RT, W, 1), 0)
                 mask = (T * RT + row_ids < H_real).astype(jnp.float32)
-                qf = (dq[1 : RT + 1, :, :C] * mask).reshape(-1, C)
-                kf = (dq[1 : RT + 1, :, C : 2 * C] * mask).reshape(-1, C)
+                qf = (dqk[1 : RT + 1, :, :C] * mask).reshape(-1, C)
+                kf = (dqk[1 : RT + 1, :, C:] * mask).reshape(-1, C)
                 for h in range(heads):
                     qh = qf[:, h * hc : (h + 1) * hc]
                     kh = kf[:, h * hc : (h + 1) * hc]
@@ -171,14 +174,17 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
 
             @pl.when(ph == 1)
             def _apply():
-                vf = dq[:, :, 2 * C :].reshape(-1, C)  # (RT+2)*W rows
+                v = _mm(
+                    y.reshape(-1, C), w_v[:], ((1,), (0,))
+                ).reshape(RT + 4, W, C) * row_ok
+                vf = _dwconv(v, dw_v[:]).reshape(-1, C)  # (RT+2)*W rows
                 outs = []
                 for h in range(heads):
                     vh = vf[:, h * hc : (h + 1) * hc]
                     outs.append(_mm(vh, attn[h], ((1,), (1,))))
                 ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
                 ao = _mm(ao, w_proj[:], ((1,), (0,))).reshape(RT + 2, W, C)
-                x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dq rows)
+                x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dqk rows)
 
                 y2 = _ln(x2, ln2[0], ln2[1], ln_bias)
                 h1 = _mm(
@@ -246,6 +252,9 @@ def fused_transformer_block(
 
     w_qkv = p["attn"]["qkv"]["kernel"].reshape(C, 3 * C)
     dw_qkv = p["attn"]["qkv_dwconv"]["kernel"].reshape(9, 3 * C)
+    # output channels are ordered [q | k | v] (torch qkv.chunk(3, dim=1))
+    w_qk, w_v = w_qkv[:, : 2 * C], w_qkv[:, 2 * C :]
+    dw_qk, dw_v = dw_qkv[:, : 2 * C], dw_qkv[:, 2 * C :]
     w_proj = p["attn"]["project_out"]["kernel"].reshape(C, C)
     temp = p["attn"]["temperature"].reshape(1, heads).astype(jnp.float32)
     w_fin = p["ffn"]["project_in"]["kernel"].reshape(C, 2 * hidden)
@@ -266,8 +275,10 @@ def fused_transformer_block(
                 (1, RT, W, C),
                 lambda b, ph, rt: (b, jnp.minimum(rt, n_rt - 2), 0, 0),
             ),
-            vmem((C, 3 * C)),
-            vmem((9, 3 * C)),
+            vmem((C, 2 * C)),
+            vmem((9, 2 * C)),
+            vmem((C, C)),
+            vmem((9, C)),
             vmem((1, heads)),
             vmem((C, C)),
             vmem((2, C)),
@@ -294,8 +305,10 @@ def fused_transformer_block(
         ),
         interpret=interpret,
     )(
-        xp, w_qkv.astype(mm_dtype if mm_bf16 else x.dtype),
-        dw_qkv.astype(jnp.float32), temp,
+        xp, w_qk.astype(mm_dtype if mm_bf16 else x.dtype),
+        dw_qk.astype(jnp.float32),
+        w_v.astype(mm_dtype if mm_bf16 else x.dtype),
+        dw_v.astype(jnp.float32), temp,
         w_proj.astype(mm_dtype), ln_pack(p["norm1"]), ln_pack(p["norm2"]),
         w_fin.astype(mm_dtype), dw_fin.astype(jnp.float32),
         w_fout.astype(mm_dtype),

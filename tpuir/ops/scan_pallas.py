@@ -25,6 +25,63 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _blelloch(a, b, n: int, d_tile: int):
+    """In-VMEM work-efficient inclusive scan of the affine recurrence
+    h_i = a_i h_{i-1} + b_i over the leading axis, radix 4 (a radix-2 level
+    mops up when the length is 2 mod 4). Returns (A, B) where A = prefix
+    products and B = prefix solutions with h0 = 0.
+
+    Radix 4 halves the number of interleave levels versus radix 2; the
+    levels are VMEM-traffic-bound, so that is ~2x on the scan's hot path.
+    """
+    levels = []
+    ca, cb = a, b
+    while ca.shape[0] > 1:  # upsweep
+        if ca.shape[0] % 4 == 0:
+            m = ca.shape[0] // 4
+            pa = ca.reshape(m, 4, n, d_tile)
+            pb = cb.reshape(m, 4, n, d_tile)
+            g0a, g1a, g2a, g3a = pa[:, 0], pa[:, 1], pa[:, 2], pa[:, 3]
+            g0b, g1b, g2b, g3b = pb[:, 0], pb[:, 1], pb[:, 2], pb[:, 3]
+            c1a = g1a * g0a
+            c1b = g1a * g0b + g1b
+            c2a = g2a * c1a
+            c2b = g2a * c1b + g2b
+            levels.append((g0a, g0b, c1a, c1b, c2a, c2b))
+            ca = g3a * c2a
+            cb = g3a * c2b + g3b
+        else:
+            m = ca.shape[0] // 2
+            pa = ca.reshape(m, 2, n, d_tile)
+            pb = cb.reshape(m, 2, n, d_tile)
+            la, ra = pa[:, 0], pa[:, 1]
+            lb, rb = pb[:, 0], pb[:, 1]
+            levels.append((la, lb))
+            ca = ra * la
+            cb = ra * lb + rb
+    ea = jnp.ones((1, n, d_tile), jnp.float32)  # exclusive prefixes
+    eb = jnp.zeros((1, n, d_tile), jnp.float32)
+    for lv in reversed(levels):  # downsweep
+        m = ea.shape[0]
+        if len(lv) == 6:
+            g0a, g0b, c1a, c1b, c2a, c2b = lv
+            e1a, e1b = g0a * ea, g0a * eb + g0b
+            e2a, e2b = c1a * ea, c1a * eb + c1b
+            e3a, e3b = c2a * ea, c2a * eb + c2b
+            ea = jnp.stack([ea, e1a, e2a, e3a], axis=1).reshape(
+                4 * m, n, d_tile
+            )
+            eb = jnp.stack([eb, e1b, e2b, e3b], axis=1).reshape(
+                4 * m, n, d_tile
+            )
+        else:
+            la, lb = lv
+            era, erb = la * ea, la * eb + lb
+            ea = jnp.stack([ea, era], axis=1).reshape(2 * m, n, d_tile)
+            eb = jnp.stack([eb, erb], axis=1).reshape(2 * m, n, d_tile)
+    return a * ea, a * eb + b  # inclusive = element o exclusive-prefix
+
+
 def _make_kernel(chunk: int, n: int, d_tile: int):
     def kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, bias_ref, y_ref,
                h_carry):
@@ -39,30 +96,7 @@ def _make_kernel(chunk: int, n: int, d_tile: int):
         a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dt)
         b = B_ref[0][:, :, None] * (dt * u)[:, None, :]
 
-        # In-VMEM work-efficient (Blelloch) inclusive scan: O(chunk) combine
-        # work instead of Hillis-Steele's O(chunk log chunk). After this,
-        # a == prefix products P_i and b == prefix solution with h0 = 0.
-        levels = []
-        ca, cb = a, b
-        while ca.shape[0] > 1:  # upsweep
-            m = ca.shape[0] // 2
-            pa = ca.reshape(m, 2, n, d_tile)
-            pb = cb.reshape(m, 2, n, d_tile)
-            la, ra = pa[:, 0], pa[:, 1]
-            lb, rb = pb[:, 0], pb[:, 1]
-            levels.append((la, lb))
-            ca = ra * la
-            cb = ra * lb + rb
-        ea = jnp.ones((1, n, d_tile), jnp.float32)  # exclusive prefixes
-        eb = jnp.zeros((1, n, d_tile), jnp.float32)
-        for la, lb in reversed(levels):  # downsweep
-            era = la * ea  # exclusive prefix for the right element of the pair
-            erb = la * eb + lb
-            m = ea.shape[0]
-            ea = jnp.stack([ea, era], axis=1).reshape(2 * m, n, d_tile)
-            eb = jnp.stack([eb, erb], axis=1).reshape(2 * m, n, d_tile)
-        b = a * eb + b  # inclusive = element o exclusive-prefix
-        a = a * ea
+        a, b = _blelloch(a, b, n, d_tile)
 
         h_all = a * h_carry[:][None] + b  # (chunk, N, Dt)
         y = jnp.sum(h_all * C_ref[0][:, :, None], axis=1)  # (chunk, Dt)
@@ -189,27 +223,7 @@ def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int):
         a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dp)
         b = Bc[:, :, None] * (dt * xs)[:, None, :]
 
-        levels = []
-        ca, cb = a, b
-        while ca.shape[0] > 1:  # Blelloch upsweep
-            m = ca.shape[0] // 2
-            pa = ca.reshape(m, 2, n, d_tile)
-            pb = cb.reshape(m, 2, n, d_tile)
-            la, ra = pa[:, 0], pa[:, 1]
-            lb, rb = pb[:, 0], pb[:, 1]
-            levels.append((la, lb))
-            ca = ra * la
-            cb = ra * lb + rb
-        ea = jnp.ones((1, n, d_tile), jnp.float32)
-        eb = jnp.zeros((1, n, d_tile), jnp.float32)
-        for la, lb in reversed(levels):  # downsweep
-            era = la * ea
-            erb = la * eb + lb
-            m = ea.shape[0]
-            ea = jnp.stack([ea, era], axis=1).reshape(2 * m, n, d_tile)
-            eb = jnp.stack([eb, erb], axis=1).reshape(2 * m, n, d_tile)
-        b = a * eb + b
-        a = a * ea
+        a, b = _blelloch(a, b, n, d_tile)
 
         h_all = a * h_carry[:][None] + b
         y = jnp.sum(h_all * Cc[:, :, None], axis=1)
@@ -243,9 +257,9 @@ def selective_scan_fused_proj(
     lp = (-L) % chunk
     Dp, Lp = d + dp, L + lp
 
-    xs_p = jnp.pad(
-        xs.astype(jnp.float32), ((0, 0), (0, 0), (0, lp), (0, dp))
-    ).reshape(b * k, Lp, Dp)
+    # keep the caller's dtype through HBM (bf16 xs halves the kernel's read
+    # traffic in serving mode); the kernel casts to float32 on load
+    xs_p = jnp.pad(xs, ((0, 0), (0, 0), (0, lp), (0, dp))).reshape(b * k, Lp, Dp)
     wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
     wdt = jnp.pad(dt_w.astype(jnp.float32), ((0, 0), (0, dp), (0, 0)))
     A_p = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, dp), (0, 0))).transpose(0, 2, 1)
