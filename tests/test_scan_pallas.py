@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from tpuir.ops.selective_scan import selective_scan
-from tpuir.ops.scan_pallas import selective_scan_pallas
+from tpuir.ops.scan_pallas import selective_scan_fused_proj, selective_scan_pallas
 from tests.test_selective_scan import _random_case
 
 
@@ -54,3 +54,32 @@ def test_fused_proj_matches_composition():
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_proj_serving_mode_close():
+    """serving=True (bf16 projections + bf16 level storage) must track the
+    parity kernel within bf16 rounding compounded over the scan horizon."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    B, K, L, D, N, R = 1, 2, 128, 32, 4, 2
+    xs = jnp.asarray(rng.rand(B, K, L, D), jnp.float32)
+    wxp = jnp.asarray(rng.randn(K, R + 2 * N, D) * 0.2, jnp.float32)
+    wdt = jnp.asarray(rng.randn(K, D, R) * 0.2, jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.rand(K, D, N), jnp.float32))
+    Ds = jnp.ones((K, D), jnp.float32)
+    db = jnp.zeros((K, D), jnp.float32)
+
+    want = np.asarray(
+        selective_scan_fused_proj(xs, wxp, wdt, A, Ds, db, chunk=32,
+                                  interpret=True)
+    )
+    got = np.asarray(
+        selective_scan_fused_proj(xs, wxp, wdt, A, Ds, db, chunk=32,
+                                  serving=True, interpret=True)
+    )
+    scale = np.abs(want).std() + np.abs(want).mean()
+    rel = np.abs(got - want) / scale
+    assert rel.max() < 0.08, rel.max()
+    assert rel.mean() < 0.01, rel.mean()

@@ -1,0 +1,148 @@
+"""Serving-precision mode validation (VERDICT r1 item 2).
+
+Contract: with 'serving' precision the engine's uint8 output may differ
+from the float32-parity path by at most 1 LSB for the plain-conv models
+(DnCNN/REDNet/DeblurGAN) and by a small quantified delta for the
+transformer/SSM models. These CPU tests pin the engine plumbing and the
+CPU-reachable deltas; scripts/validate_serving.py runs the same contract
+on the real TPU serving paths (fused kernels) and records the measured
+deltas in benchmarks/serving_deltas.json.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuir.core.engine import InferenceModel, run_model_inference
+from tpuir.core.image_io import normalize_signed
+
+
+def _engine_pair(model_ctor, in_ch, patch, overlap, serving_kw, **bundle_kw):
+    model, params = model_ctor()
+    f32 = InferenceModel(
+        name="f32", apply_fn=model.apply, params=params,
+        patch_size=patch, patch_overlap=overlap, batch_size=4, **bundle_kw,
+    )
+    srv = InferenceModel(
+        name="serving", apply_fn=model.apply, params=params,
+        patch_size=patch, patch_overlap=overlap, batch_size=4,
+        **{**bundle_kw, **serving_kw},
+    )
+    img = (np.random.RandomState(0).rand(72, 88, in_ch) * 255).astype(np.uint8)
+    out_f32, _ = run_model_inference(f32, img)
+    out_srv, _ = run_model_inference(srv, img)
+    return np.abs(out_f32.astype(int) - out_srv.astype(int))
+
+
+def test_dncnn_serving_within_1_lsb():
+    from tpuir.models.dncnn import DnCNN
+
+    def ctor():
+        m = DnCNN(in_nc=1, out_nc=1, nc=16, nb=5)
+        p = m.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 1), np.float32))
+        return m, p
+
+    diff = _engine_pair(ctor, 1, 48, 8, {"compute_dtype": "bfloat16"})
+    assert diff.max() <= 1, diff.max()
+
+
+def test_rednet_serving_within_1_lsb():
+    from tpuir.models.rednet import REDNet
+
+    def ctor():
+        m = REDNet(num_features=16)
+        p = m.init(jax.random.PRNGKey(1), np.zeros((1, 32, 32, 1), np.float32))
+        return m, p
+
+    diff = _engine_pair(ctor, 1, 48, 8, {"compute_dtype": "bfloat16"})
+    assert diff.max() <= 1, diff.max()
+
+
+def test_deblurgan_mobilenet_serving_within_1_lsb():
+    """DeblurGAN serving keeps f32 activations (InstanceNorm train-mode
+    statistics amplify bf16 input quantization on near-constant channels —
+    measured 15 LSB with a cast input) and only drops the matmul pin."""
+    from tpuir.models.deblurgan import FPNMobileNet
+
+    def ctor():
+        m = FPNMobileNet()
+        p = m.init(jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32))
+        return m, p
+
+    diff = _engine_pair(
+        ctor, 3, None, 0, {"compute_dtype": "float32"},
+        pad_block=32, normalize=normalize_signed,
+        postprocess=lambda x: (x + 1) / 2.0,
+    )
+    assert diff.max() <= 1, diff.max()
+
+
+def test_restormer_serving_quantified():
+    """Restormer serving = fused blocks with bf16 MXU matmuls; engine IO
+    stays f32. Exercised here through the interpret-mode fused path."""
+    from tpuir.models import restormer_fused
+    from tpuir.models.restormer import Restormer
+
+    m = Restormer(dim=16, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1)
+    p = m.init(jax.random.PRNGKey(3), np.zeros((1, 32, 32, 3), np.float32))
+    fused = restormer_fused.make_apply_fn(
+        ln_bias=True, mm_bf16=True, interpret=True,
+        num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+    )
+    f32 = InferenceModel(name="f32", apply_fn=m.apply, params=p,
+                         patch_size=32, patch_overlap=8, pad_factor=8,
+                         batch_size=2)
+    srv = InferenceModel(name="serving", apply_fn=fused, params=p,
+                         patch_size=32, patch_overlap=8, pad_factor=8,
+                         batch_size=2, compute_dtype="float32")
+    img = (np.random.RandomState(0).rand(40, 48, 3) * 255).astype(np.uint8)
+    out_f32, _ = run_model_inference(f32, img)
+    out_srv, _ = run_model_inference(srv, img)
+    d = out_f32.astype(np.float64) - out_srv.astype(np.float64)
+    agreement = 10 * np.log10(255.0**2 / max(np.mean(d**2), 1e-12))
+    # Quantified contract on RANDOM weights (the worst case: untrained
+    # residual branches amplify bf16 rounding): serving agrees with parity
+    # to >=34 dB (measured ~37 dB) and <=0.1 of the uint8 range worst-case.
+    # Trained checkpoints agree far closer (small residual branches);
+    # scripts/validate_serving.py re-measures against real weights.
+    assert agreement >= 34.0, agreement
+    assert np.abs(d).max() <= 25, np.abs(d).max()
+
+
+def test_mair_serving_quantified():
+    from tpuir.models.mair import MaIR
+
+    def ctor_pair(io):
+        m = MaIR(embed_dim=32, depths=(2,), d_state=4, ssm_ratio=1.5,
+                 scan_chunk=64, scan_io_dtype=io)
+        p = m.init(jax.random.PRNGKey(4), np.zeros((1, 16, 16, 3), np.float32))
+        return m, p
+
+    m32, p32 = ctor_pair("float32")
+    mbf, _ = ctor_pair("bfloat16")
+    f32 = InferenceModel(name="f32", apply_fn=m32.apply, params=p32,
+                         patch_size=32, patch_overlap=8, pad_factor=8,
+                         batch_size=4)
+    srv = InferenceModel(name="serving", apply_fn=mbf.apply, params=p32,
+                         patch_size=32, patch_overlap=8, pad_factor=8,
+                         batch_size=4, compute_dtype="float32")
+    img = (np.random.RandomState(5).rand(48, 56, 3) * 255).astype(np.uint8)
+    out_f32, _ = run_model_inference(f32, img)
+    out_srv, _ = run_model_inference(srv, img)
+    diff = np.abs(out_f32.astype(int) - out_srv.astype(int))
+    # quantified contract: <=2 LSB worst case, <=20% of pixels off by >=1
+    # (an off-by-1 LSB on 10-20% of pixels shifts a 30 dB PSNR by <0.01 dB)
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 0).mean() < 0.20, (diff > 0).mean()
+
+
+def test_zoo_precision_resolution(monkeypatch):
+    from tpuir import zoo
+
+    assert zoo.resolve_precision(None) == "parity"
+    assert zoo.resolve_precision("serving") == "serving"
+    monkeypatch.setenv("TPUIR_PRECISION", "serving")
+    assert zoo.resolve_precision(None) == "serving"
+    with pytest.raises(ValueError):
+        zoo.resolve_precision("fast")

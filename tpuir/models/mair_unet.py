@@ -37,12 +37,13 @@ class MaIRUNet(nn.Module):
     scan_len: int = 4
     base_d_state: int = 4
     scan_chunk: int = 256
+    scan_io_dtype: str = "float32"  # 'bfloat16' = serving mode scan IO
 
     def _stage(self, n, dim, d_state, mlp_ratio, prefix):
         return [
             MaIRBlock(
                 dim, d_state, self.ssm_ratio, mlp_ratio, self.scan_chunk,
-                name=f"{prefix}_{i}",
+                scan_io_dtype=self.scan_io_dtype, name=f"{prefix}_{i}",
             )
             for i in range(n)
         ]

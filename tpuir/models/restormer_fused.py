@@ -98,17 +98,18 @@ def apply(
 
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
-    mm_bf16: bool = False, interpret: bool = False,
+    mm_bf16: bool = False, interpret: bool = False, **config,
 ):
     """apply_fn(params, x) for the engine's InferenceModel.
 
     ``mm_bf16=True`` selects the serving-precision mode (bf16 MXU matmuls
-    with float32 accumulation inside the fused blocks)."""
+    with float32 accumulation inside the fused blocks). Extra ``config``
+    kwargs (num_blocks, heads, ...) forward to :func:`apply`."""
 
     def fn(params, x):
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
-            row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret,
+            row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret, **config,
         )
 
     return fn

@@ -59,8 +59,8 @@ def _blelloch(a, b, n: int, d_tile: int):
             levels.append((la, lb))
             ca = ra * la
             cb = ra * lb + rb
-    ea = jnp.ones((1, n, d_tile), jnp.float32)  # exclusive prefixes
-    eb = jnp.zeros((1, n, d_tile), jnp.float32)
+    ea = jnp.ones((1, n, d_tile), a.dtype)  # exclusive prefixes
+    eb = jnp.zeros((1, n, d_tile), a.dtype)
     for lv in reversed(levels):  # downsweep
         m = ea.shape[0]
         if len(lv) == 6:
@@ -197,7 +197,32 @@ def selective_scan_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int):
+def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int,
+                       serving: bool):
+    if serving:
+        # serving mode: single-pass bf16 MXU projections (f32 accumulate)
+        mm = dict(preferred_element_type=jnp.float32)
+
+        def _proj(x, w, dims):
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (dims, ((), ())), **mm,
+            )
+    else:
+
+        def _proj(x, w, dims):
+            return jax.lax.dot_general(
+                x, w, (dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    # serving also stores the scan's (a, b) level arrays in bf16: the
+    # Blelloch levels are VMEM-traffic-bound, so this is ~2x on them; the
+    # exponential forgetting of the recurrence keeps the compounded
+    # rounding small (quantified by scripts/validate_serving.py)
+    level_dtype = jnp.bfloat16 if serving else jnp.float32
+
     def kernel(xs_ref, wxp_ref, wdt_ref, A_ref, D_ref, bias_ref, y_ref,
                h_carry):
         lc = pl.program_id(1)
@@ -207,23 +232,19 @@ def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int):
             h_carry[:] = jnp.zeros_like(h_carry)
 
         xs = xs_ref[0].astype(jnp.float32)  # (chunk, Dp)
-        xdbl = jax.lax.dot_general(
-            xs, wxp_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (chunk, R + 2N)
-        dt_raw = jax.lax.dot_general(
-            xdbl[:, :r], wdt_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (chunk, Dp)
+        xdbl = _proj(xs, wxp_ref[0], ((1,), (1,)))  # (chunk, R + 2N)
+        dt_raw = _proj(xdbl[:, :r], wdt_ref[0], ((1,), (1,)))  # (chunk, Dp)
         Bc = xdbl[:, r : r + n]  # (chunk, N)
         Cc = xdbl[:, r + n : r + 2 * n]
         dt = jax.nn.softplus(dt_raw + bias_ref[0])
         a = jnp.exp(dt[:, None, :] * A_ref[0])  # (chunk, N, Dp)
         b = Bc[:, :, None] * (dt * xs)[:, None, :]
 
-        a, b = _blelloch(a, b, n, d_tile)
+        a, b = _blelloch(
+            a.astype(level_dtype), b.astype(level_dtype), n, d_tile
+        )
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
 
         h_all = a * h_carry[:][None] + b
         y = jnp.sum(h_all * Cc[:, :, None], axis=1)
@@ -233,7 +254,7 @@ def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "serving", "interpret"))
 def selective_scan_fused_proj(
     xs: jnp.ndarray,  # (B, K, L, D) post-dwconv scanned sequences
     x_proj_w: jnp.ndarray,  # (K, R + 2N, D)
@@ -242,6 +263,7 @@ def selective_scan_fused_proj(
     D: jnp.ndarray,  # (K, D)
     delta_bias: jnp.ndarray,  # (K, D)
     chunk: int = 256,
+    serving: bool = False,  # bf16 projections + bf16 level storage
     interpret: bool = False,
 ) -> jnp.ndarray:
     if chunk <= 0 or (chunk & (chunk - 1)) != 0:
@@ -267,7 +289,7 @@ def selective_scan_fused_proj(
     bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
 
     y = pl.pallas_call(
-        _make_fused_kernel(chunk, n, r, Dp),
+        _make_fused_kernel(chunk, n, r, Dp, serving),
         grid=(b * k, Lp // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, Dp), lambda bk, lc: (bk, lc, 0)),

@@ -39,6 +39,16 @@ def _flat(sd):
     return out
 
 
+def resolve_precision(precision: Optional[str] = None) -> str:
+    """'parity' (default: true-float32 matmuls) or 'serving' (bf16 MXU
+    passes with float32 accumulation — the documented fast mode, validated
+    by tests/test_serving_mode.py and scripts/validate_serving.py)."""
+    p = precision or os.environ.get("TPUIR_PRECISION", "parity")
+    if p not in ("parity", "serving"):
+        raise ValueError(f"unknown precision mode {p!r} (parity|serving)")
+    return p
+
+
 def _load_sd(path: str, key: Optional[str] = None):
     ckpt = load_torch_checkpoint(path)
     if key is not None and isinstance(ckpt, dict) and key in ckpt:
@@ -51,7 +61,7 @@ def _load_sd(path: str, key: Optional[str] = None):
 # --------------------------------------------------------------------------
 
 
-def build_rednet(weights_dir: str, sigma) -> InferenceModel:
+def build_rednet(weights_dir: str, sigma, precision: str = "parity") -> InferenceModel:
     from tpuir.models import rednet as m
 
     pt = os.path.join(weights_dir, "REDNet", f"{sigma}.pt")
@@ -69,10 +79,11 @@ def build_rednet(weights_dir: str, sigma) -> InferenceModel:
         name="REDNet", apply_fn=model.apply, params=params,
         patch_size=pc["patch_size"], patch_overlap=pc["patch_overlap"],
         param_count=param_count(params),
+        compute_dtype="bfloat16" if precision == "serving" else None,
     )
 
 
-def build_dncnn(weights_dir: str, gray: bool, sigma) -> InferenceModel:
+def build_dncnn(weights_dir: str, gray: bool, sigma, precision: str = "parity") -> InferenceModel:
     from tpuir.models import dncnn as m
 
     if gray:
@@ -92,10 +103,11 @@ def build_dncnn(weights_dir: str, gray: bool, sigma) -> InferenceModel:
         name="DnCNN", apply_fn=model.apply, params=params,
         patch_size=pc["patch_size"], patch_overlap=pc["patch_overlap"],
         param_count=param_count(params),
+        compute_dtype="bfloat16" if precision == "serving" else None,
     )
 
 
-def build_deblurgan(weights_dir: str, variant: str) -> InferenceModel:
+def build_deblurgan(weights_dir: str, variant: str, precision: str = "parity") -> InferenceModel:
     from tpuir.models import deblurgan as m
 
     if variant == "Inception":
@@ -119,6 +131,10 @@ def build_deblurgan(weights_dir: str, variant: str) -> InferenceModel:
         pad_block=32, normalize=normalize_signed,
         postprocess=lambda x: (x + 1) / 2.0,
         param_count=param_count(params),
+        # InstanceNorm train-mode statistics amplify bf16 input quantization
+        # on near-constant channels, so serving keeps f32 activations and
+        # only drops the true-f32 matmul pin (convs run as bf16 MXU passes)
+        compute_dtype="float32" if precision == "serving" else None,
     )
 
 
@@ -141,7 +157,8 @@ RESTORMER_CONFIGS = {
 }
 
 
-def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma) -> InferenceModel:
+def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma,
+                    precision: str = "parity") -> InferenceModel:
     from tpuir.models import restormer as m
 
     key = (task, subtask, gray, sigma)
@@ -156,11 +173,15 @@ def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma
     params = m.convert_state_dict(
         sd, layer_norm_bias=ln_bias, dual_pixel_task=dual
     )
-    # On TPU, serve through the fused Pallas blocks: ~1.4x faster than the
+    # On TPU, serve through the fused Pallas blocks: ~1.2x faster than the
     # XLA path at float32-parity precision (and more accurate than XLA's
     # default bf16 matmul passes). TPUIR_FUSED=0 falls back to pure XLA.
+    # 'serving' precision runs the fused blocks with single-pass bf16 MXU
+    # matmuls + float32 accumulation and streams activations in bf16
+    # (~1.8x over parity; deltas validated by scripts/validate_serving.py).
     import jax
 
+    serving = precision == "serving"
     apply_fn = model.apply
     if (
         jax.default_backend() not in ("cpu",)
@@ -169,17 +190,28 @@ def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma
         from tpuir.models import restormer_fused
 
         apply_fn = restormer_fused.make_apply_fn(
-            ln_bias=ln_bias, dual_pixel_task=dual
+            ln_bias=ln_bias, dual_pixel_task=dual,
+            mm_bf16=serving, row_tile=16 if serving else 8,
         )
     pc = get_patch_config(task, subtask.split("-")[0], "Restormer")
     return InferenceModel(
         name="Restormer", apply_fn=apply_fn, params=params,
         patch_size=pc["patch_size"], patch_overlap=pc["patch_overlap"],
         pad_factor=8, param_count=param_count(params),
+        # f32 activations at the engine boundary (input quantization alone
+        # costs ~5 uint8 LSB); bf16 lives inside the fused kernels
+        compute_dtype="float32" if serving else None,
     )
 
 
-def build_mair(weights_dir: str, task: str, subtask: str, sigma) -> InferenceModel:
+def build_mair(weights_dir: str, task: str, subtask: str, sigma,
+               precision: str = "parity") -> InferenceModel:
+    # MaIR 'serving' mode: default-precision matmuls (bf16 MXU passes) and
+    # bf16 IO at the NSS gather / Pallas scan boundary; scan math stays
+    # float32 in-kernel. compute_dtype='float32' keeps activations f32 but
+    # skips the engine's true-f32 matmul pin.
+    serving = precision == "serving"
+    io_dtype = "bfloat16" if serving else "float32"
     if task == "denoising" and subtask == "gaussian":
         from tpuir.models import mair as m
 
@@ -190,7 +222,7 @@ def build_mair(weights_dir: str, task: str, subtask: str, sigma) -> InferenceMod
         # config: src/mair/options/test_MaIR_CDN_s15.yml:55-70
         model = m.MaIR(
             embed_dim=180, depths=(6,) * 6, d_state=16, ssm_ratio=1.3,
-            mlp_ratio=2.0, scan_len=4,
+            mlp_ratio=2.0, scan_len=4, scan_io_dtype=io_dtype,
         )
         params = m.convert_state_dict(sd, depths=(6,) * 6, embed_dim=180, ssm_ratio=1.3)
     else:
@@ -206,6 +238,7 @@ def build_mair(weights_dir: str, task: str, subtask: str, sigma) -> InferenceMod
         model = m.MaIRUNet(
             dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
             ssm_ratio=2.0, flp_ratio=4.0, mlp_ratio=1.5, scan_len=4,
+            scan_io_dtype=io_dtype,
         )
         params = m.convert_state_dict(
             sd, dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4, ssm_ratio=2.0
@@ -215,6 +248,7 @@ def build_mair(weights_dir: str, task: str, subtask: str, sigma) -> InferenceMod
         name="MaIR", apply_fn=model.apply, params=params,
         patch_size=pc["patch_size"], patch_overlap=pc["patch_overlap"],
         pad_factor=8, param_count=param_count(params),
+        compute_dtype="float32" if serving else None,
     )
 
 
@@ -225,8 +259,13 @@ def get_model_instance(
     gray: bool = False,
     sigma=None,
     weights_dir: Optional[str] = None,
+    precision: Optional[str] = None,
 ) -> InferenceModel:
     """Route a harness configuration to a loaded model bundle.
+
+    ``precision``: 'parity' (default; true-float32 matmuls for the 0.05 dB
+    CSV budget) or 'serving' (bf16 MXU passes + f32 accumulation — the
+    fast documented mode). Defaults to the TPUIR_PRECISION env var.
 
     Raises ValueError for unsupported combinations and propagates
     FileNotFoundError when weights are absent — the harness treats the
@@ -234,31 +273,32 @@ def get_model_instance(
     (scripts/tests.py:46-50).
     """
     weights_dir = weights_dir or ROOT_WEIGHTS_DIR
+    precision = resolve_precision(precision)
     key = model_name.split(" ")[0]
     if key == "REDNet":
         if task == "denoising" and subtask == "gaussian" and sigma is not None:
-            return build_rednet(weights_dir, sigma)
+            return build_rednet(weights_dir, sigma, precision)
     elif key == "DnCNN":
         if task == "denoising" and subtask == "gaussian":
             if gray or sigma is None:
-                return build_dncnn(weights_dir, gray, sigma)
+                return build_dncnn(weights_dir, gray, sigma, precision)
     elif key == "DeblurGANv2":
         if task == "deblurring" and subtask == "motion":
             if "Inception" in model_name:
-                return build_deblurgan(weights_dir, "Inception")
+                return build_deblurgan(weights_dir, "Inception", precision)
             if "MobileNet" in model_name:
-                return build_deblurgan(weights_dir, "MobileNet")
+                return build_deblurgan(weights_dir, "MobileNet", precision)
     elif key == "Restormer":
         sub = "defocus-dual" if ("Dual-pixel" in model_name and subtask == "defocus") else subtask
         try:
-            return build_restormer(weights_dir, task, sub, gray, sigma)
+            return build_restormer(weights_dir, task, sub, gray, sigma, precision)
         except ValueError:
             pass
     elif key == "MaIR":
         if task == "denoising" and subtask == "gaussian" and not gray and sigma is not None:
-            return build_mair(weights_dir, task, subtask, sigma)
+            return build_mair(weights_dir, task, subtask, sigma, precision)
         if task == "denoising" and subtask == "real":
-            return build_mair(weights_dir, task, subtask, None)
+            return build_mair(weights_dir, task, subtask, None, precision)
         if task == "deblurring" and subtask == "motion":
-            return build_mair(weights_dir, task, subtask, None)
+            return build_mair(weights_dir, task, subtask, None, precision)
     raise ValueError("No model instance found for current configuration.")
