@@ -74,8 +74,31 @@ def sample_images(task, subtask, max_n=12):
     return files[:max_n]
 
 
+def device_choices():
+    """Backend devices offered by the selector (reference demo.py:352-355
+    offers cuda/cpu; here every JAX device plus the host CPU)."""
+    import jax
+
+    names = [f"{d.platform}:{d.id}" for d in jax.devices()]
+    if not any(n.startswith("cpu") for n in names):
+        names.append("cpu:0")
+    return names
+
+
+def _resolve_device(name):
+    import jax
+
+    platform, _, idx = name.partition(":")
+    for d in jax.devices(platform):
+        if d.id == int(idx or 0):
+            return d
+    return jax.devices()[0]
+
+
 def run_restoration(image, subtask_label, model_name, sigma, add_noise,
-                    patch_size, patch_overlap, progress=None):
+                    patch_size, patch_overlap, device_name=None, progress=None):
+    import jax
+
     task, subtask, gray, sigmas = None, None, False, None
     for t, subs in TASKS.items():
         if subtask_label in subs:
@@ -93,10 +116,21 @@ def run_restoration(image, subtask_label, model_name, sigma, add_noise,
     )
     if add_noise and subtask == "gaussian":
         img = (add_gaussian_noise(img, sigma) * 255).round().astype(np.uint8)
-    pred, ms = run_model_inference(
-        model, img, patch_size=int(patch_size), patch_overlap=int(patch_overlap)
+    dev_ctx = (
+        jax.default_device(_resolve_device(device_name))
+        if device_name else _nullcontext()
     )
+    with dev_ctx:
+        pred, ms = run_model_inference(
+            model, img, patch_size=int(patch_size), patch_overlap=int(patch_overlap)
+        )
     return img.squeeze(), pred.squeeze(), f"{ms:.0f} ms"
+
+
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def build_app():
@@ -119,12 +153,21 @@ def build_app():
             add_noise = gr.Checkbox(True, label="Add Gaussian noise to input")
             patch_size = gr.Slider(64, 2048, value=256, step=16, label="Patch size")
             patch_overlap = gr.Slider(0, 512, value=48, step=16, label="Patch overlap")
+            device = gr.Dropdown(
+                device_choices(), value=device_choices()[0], label="Device"
+            )
         inp = gr.Image(label="Input image", type="numpy")
         gallery = gr.Gallery(label="Dataset samples", columns=6, height=140)
+        sample_paths = gr.State([])
         run_btn = gr.Button("Restore", variant="primary")
         with gr.Row():
             before = gr.Image(label="Model input")
             after = gr.Image(label="Restored")
+        # Before/after comparison slider (reference demo.py:410). ImageSlider
+        # moved into core gradio in v4/v5; fall back to the side-by-side row
+        # above on older installs.
+        compare = gr.ImageSlider(label="Compare (drag)", interactive=False) \
+            if hasattr(gr, "ImageSlider") else None
         time_box = gr.Textbox(label="Inference time")
 
         def on_subtask(label):
@@ -140,19 +183,35 @@ def build_app():
                         gr.update(value=(pc or {}).get("patch_size", 256)),
                         gr.update(value=(pc or {}).get("patch_overlap", 48)),
                         samples,
+                        samples,
                     )
 
         subtask.change(
-            on_subtask, [subtask], [model, sigma, patch_size, patch_overlap, gallery]
+            on_subtask, [subtask],
+            [model, sigma, patch_size, patch_overlap, gallery, sample_paths],
         )
-        gallery.select(
-            lambda evt: imread_uint8(evt.value["image"]["path"]),
-            None, inp,
-        )
+
+        def on_gallery_select(paths, evt: gr.SelectData):
+            # Select by index into the known sample list (reference
+            # demo.py:160-165) — robust across gradio's evt.value formats.
+            return imread_uint8(paths[evt.index])
+
+        gallery.select(on_gallery_select, [sample_paths], inp)
+
+        def do_run(image, subtask_label, model_name, sig, noise, ps, po, dev):
+            before_img, after_img, ms = run_restoration(
+                image, subtask_label, model_name, sig, noise, ps, po, dev
+            )
+            outs = [before_img, after_img, ms]
+            if compare is not None:
+                outs.append((before_img, after_img))
+            return tuple(outs)
+
         run_btn.click(
-            run_restoration,
-            [inp, subtask, model, sigma, add_noise, patch_size, patch_overlap],
-            [before, after, time_box],
+            do_run,
+            [inp, subtask, model, sigma, add_noise, patch_size, patch_overlap,
+             device],
+            [before, after, time_box] + ([compare] if compare is not None else []),
         )
     return app
 
