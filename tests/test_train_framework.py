@@ -185,3 +185,47 @@ def test_scheduler_parity_vs_reference(kind, kwargs):
         assert abs(got - want) < 1e-9, f"step {step}: {got} vs {want}"
         optim.step()
         ref_sched.step()
+
+
+def test_dual_pixel_16bit_dataset(tmp_path):
+    """Dataset_DefocusDeblur_DualPixel_16bit: L/R 16-bit crops stack to a
+    6-channel lq, 16-bit gt, shared random crop + augmentation."""
+    from tpuir.train.data import build_dataset
+
+    rng = np.random.RandomState(3)
+    for sub in ("gt", "lqL", "lqR"):
+        (tmp_path / sub).mkdir()
+    for i in range(3):
+        for sub in ("gt", "lqL", "lqR"):
+            img = (rng.rand(40, 40, 3) * 65535).astype(np.uint16)
+            cv2.imwrite(str(tmp_path / sub / f"{i}.png"), img)
+
+    ds = build_dataset(
+        {
+            "type": "Dataset_DefocusDeblur_DualPixel_16bit",
+            "phase": "train",
+            "gt_size": 16,
+            "geometric_augs": True,
+            "seed": 0,
+            "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lqL": str(tmp_path / "lqL"),
+            "dataroot_lqR": str(tmp_path / "lqR"),
+        }
+    )
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["lq"].shape == (16, 16, 6)
+    assert item["gt"].shape == (16, 16, 3)
+    assert 0.0 <= item["lq"].min() and item["lq"].max() <= 1.0
+
+    val = build_dataset(
+        {
+            "type": "Dataset_DefocusDeblur_DualPixel_16bit",
+            "phase": "val",
+            "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lqL": str(tmp_path / "lqL"),
+            "dataroot_lqR": str(tmp_path / "lqR"),
+        }
+    )
+    item = val[1]
+    assert item["lq"].shape == (40, 40, 6)

@@ -247,6 +247,61 @@ class Dataset_PairedImage(PairedImageDataset):
     """Fork-B name for the plain paired dataset."""
 
 
+@DATASET_REGISTRY.register(suffix=None)
+class Dataset_DefocusDeblur_DualPixel_16bit:
+    """DPDD dual-pixel training dataset: 16-bit L/R input crops stacked to
+    6 channels, 16-bit 3-channel target (the dataset type the reference
+    DefocusDeblur_DualPixel_16bit_Restormer.yml names; inference-side
+    equivalent in tpuir/data/loaders.py:defocus_blur_dataset_loader)."""
+
+    def __init__(self, opt: Dict):
+        from tpuir.core.image_io import imread_uint16
+
+        self._imread16 = imread_uint16
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        gt = natsorted(glob(os.path.join(opt["dataroot_gt"], "*.*")))
+        lqL = natsorted(glob(os.path.join(opt["dataroot_lqL"], "*.*")))
+        lqR = natsorted(glob(os.path.join(opt["dataroot_lqR"], "*.*")))
+        assert len(gt) == len(lqL) == len(lqR), (
+            f"DPDD folder mismatch: {len(gt)} GT / {len(lqL)} L / {len(lqR)} R"
+        )
+        self.paths = list(zip(gt, lqL, lqR))
+        self.rng = random.Random(opt.get("seed"))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> Dict:
+        gt_path, lqL_path, lqR_path = self.paths[index]
+        img_gt = self._imread16(gt_path).astype(np.float32) / 65535.0
+        img_lq = np.concatenate(
+            [
+                self._imread16(lqL_path).astype(np.float32) / 65535.0,
+                self._imread16(lqR_path).astype(np.float32) / 65535.0,
+            ],
+            axis=2,
+        )
+        if self.phase == "train":
+            gt_size = self.opt["gt_size"]
+            img_gt, img_lq = paired_random_crop(
+                img_gt, img_lq, gt_size, self.scale, self.rng
+            )
+            img_gt, img_lq = augment(
+                [img_gt, img_lq],
+                self.opt.get("geometric_augs", False),
+                self.opt.get("geometric_augs", False),
+                self.rng,
+            )
+        return {
+            "lq": np.ascontiguousarray(img_lq, np.float32),
+            "gt": np.ascontiguousarray(img_gt, np.float32),
+            "lq_path": lqL_path,
+            "gt_path": gt_path,
+        }
+
+
 def build_dataset(opt: Dict):
     return DATASET_REGISTRY.get(opt["type"])(opt)
 
