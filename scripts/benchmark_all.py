@@ -84,7 +84,12 @@ def bench_case(model, apply_override, in_ch, size, precision, batch, iters=10):
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, size, size, in_ch), jnp.float32
     )
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, in_ch), jnp.float32))
+    # init at >=128: the Inception-ResNet-v2 trunk reduces 64^2 to an empty
+    # spatial axis before the FPN's reflect pads
+    init_hw = min(size, 128)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, init_hw, init_hw, in_ch), jnp.float32)
+    )
     apply_fn = apply_override or model.apply
 
     @jax.jit
