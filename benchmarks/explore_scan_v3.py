@@ -34,19 +34,17 @@ def main():
     A = jnp.asarray(-np.exp(rng.randn(k, d, n) * 0.3), jnp.float32)
     D = jnp.asarray(rng.randn(k, d), jnp.float32)
     bias = jnp.asarray(rng.randn(k, d) * 0.1, jnp.float32)
-    for chunk in (128, 256, 512):
-        for serving in (False, True):
-            timeit(
-                f"fused_proj chunk={chunk} serving={serving}",
-                lambda x, *w: selective_scan_fused_proj(
-                    x, *w, chunk=chunk, serving=serving
-                ),
-                xs, wxp, wdt, A, D, bias,
-            )
-    xb = xs.astype(jnp.bfloat16)
-    timeit("fused_proj chunk=256 serving=True bf16-in",
-           lambda x, *w: selective_scan_fused_proj(x, *w, chunk=256, serving=True),
-           xb, wxp, wdt, A, D, bias)
+    cases = [(256, False, "pairs"), (256, False, "vert"),
+             (512, False, "vert"), (1024, False, "vert"),
+             (256, True, "vert")]
+    for chunk, serving, algo in cases:
+        timeit(
+            f"fused_proj chunk={chunk} serving={serving} algo={algo}",
+            lambda x, *w, c=chunk, s=serving, a=algo: selective_scan_fused_proj(
+                x, *w, chunk=c, serving=s, algo=a
+            ),
+            xs, wxp, wdt, A, D, bias,
+        )
 
 if __name__ == "__main__":
     main()

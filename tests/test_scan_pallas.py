@@ -28,7 +28,8 @@ def test_pallas_scan_matches_xla(b, k, L, d, n, chunk, d_tile):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-def test_fused_proj_matches_composition():
+@pytest.mark.parametrize("algo", ["pairs", "vert"])
+def test_fused_proj_matches_composition(algo):
     from tpuir.ops.scan_pallas import selective_scan_fused_proj
     import jax.numpy as jnp
 
@@ -50,7 +51,7 @@ def test_fused_proj_matches_composition():
 
     got = np.asarray(
         selective_scan_fused_proj(
-            xs, wxp, wdt, A, D, bias, chunk=16, interpret=True
+            xs, wxp, wdt, A, D, bias, chunk=16, algo=algo, interpret=True
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
