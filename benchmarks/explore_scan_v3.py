@@ -34,15 +34,15 @@ def main():
     A = jnp.asarray(-np.exp(rng.randn(k, d, n) * 0.3), jnp.float32)
     D = jnp.asarray(rng.randn(k, d), jnp.float32)
     bias = jnp.asarray(rng.randn(k, d) * 0.1, jnp.float32)
-    cases = [(256, False, "pairs"), (256, False, "vert"),
-             (512, False, "vert"), (1024, False, "vert"),
-             (256, True, "vert")]
-    for chunk, serving, algo in cases:
+    cases = [(256, False, "vert", 16), (256, False, "vert", 8),
+             (256, False, "vert", 32), (256, False, "vert", 64),
+             (512, False, "vert", 32), (256, True, "vert", 32)]
+    for chunk, serving, algo, P in cases:
         timeit(
-            f"fused_proj chunk={chunk} serving={serving} algo={algo}",
-            lambda x, *w, c=chunk, s=serving, a=algo: selective_scan_fused_proj(
-                x, *w, chunk=c, serving=s, algo=a
-            ),
+            f"fused_proj chunk={chunk} serving={serving} {algo} P={P}",
+            lambda x, *w, c=chunk, s=serving, a=algo, p=P:
+                selective_scan_fused_proj(x, *w, chunk=c, serving=s, algo=a,
+                                          vert_p=p),
             xs, wxp, wdt, A, D, bias,
         )
 

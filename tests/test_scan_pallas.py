@@ -28,13 +28,17 @@ def test_pallas_scan_matches_xla(b, k, L, d, n, chunk, d_tile):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("algo", ["pairs", "vert"])
-def test_fused_proj_matches_composition(algo):
+@pytest.mark.parametrize("algo,n,d", [
+    ("pairs", 4, 24),
+    ("vert", 4, 24),
+    ("vert", 32, 40),  # MaIRUNet level-3 shape class: d_state 32
+])
+def test_fused_proj_matches_composition(algo, n, d):
     from tpuir.ops.scan_pallas import selective_scan_fused_proj
     import jax.numpy as jnp
 
     rng = np.random.RandomState(3)
-    b, k, L, d, n, r = 1, 4, 64, 24, 4, 2
+    b, k, L, r = 1, 4, 64, 2
     xs = rng.randn(b, k, L, d).astype(np.float32)
     wxp = (rng.randn(k, r + 2 * n, d) * 0.2).astype(np.float32)
     wdt = (rng.randn(k, d, r) * 0.2).astype(np.float32)

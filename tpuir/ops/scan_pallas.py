@@ -329,7 +329,7 @@ def _make_fused_kernel_vert(chunk: int, n: int, r: int, d_tile: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "serving", "algo", "interpret")
+    jax.jit, static_argnames=("chunk", "serving", "algo", "vert_p", "interpret")
 )
 def selective_scan_fused_proj(
     xs: jnp.ndarray,  # (B, K, L, D) post-dwconv scanned sequences
@@ -343,6 +343,7 @@ def selective_scan_fused_proj(
     algo: str = "vert",  # 'vert' = two-level vertical scan (sequential
     #   positions x vectorized subchunks; measured ~11% faster than
     #   'pairs', the (a,b)-pair radix-4 Blelloch, which remains selectable)
+    vert_p: int = 16,  # subchunk length P of the vertical scan
     interpret: bool = False,
 ) -> jnp.ndarray:
     if chunk <= 0 or (chunk & (chunk - 1)) != 0:
@@ -368,8 +369,10 @@ def selective_scan_fused_proj(
     bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
 
     if algo == "vert":
-        make = lambda *a: _make_fused_kernel_vert(*a)
-        P = 16 if chunk % 16 == 0 else 8
+        if vert_p <= 0 or (vert_p & (vert_p - 1)) != 0:
+            raise ValueError(f"vert_p must be a power of two; got {vert_p}")
+        P = vert_p if chunk % vert_p == 0 else chunk  # chunk < P: one subchunk
+        make = lambda *a: _make_fused_kernel_vert(*a, P=P)
         extra_scratch = [
             pltpu.VMEM((chunk // P, P, n, Dp), jnp.float32),
             pltpu.VMEM((chunk // P, P, n, Dp), jnp.float32),
