@@ -140,7 +140,7 @@ class SSMixer(nn.Module):
 
             y = selective_scan_fused_proj(
                 xs, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)),
-                Ds, dt_b, chunk=256,
+                Ds, dt_b, chunk=max(self.scan_chunk, 256),
                 serving=(io_dtype == jnp.bfloat16),
             )
         else:

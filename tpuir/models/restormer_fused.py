@@ -37,7 +37,7 @@ def _conv(p, x, stride=1, groups=1):
     jax.jit,
     static_argnames=(
         "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
-        "dual_pixel_task", "row_tile", "mm_bf16", "interpret",
+        "dual_pixel_task", "row_tile", "mm_bf16", "io_bf16", "interpret",
     ),
 )
 def apply(
@@ -50,10 +50,12 @@ def apply(
     dual_pixel_task: bool = False,
     row_tile: int = 8,
     mm_bf16: bool = False,
+    io_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     p = params["params"] if "params" in params else params
     nb = num_blocks
+    act_dtype = jnp.bfloat16 if io_bf16 else x.dtype
 
     def run_stage(h, stage, n, n_heads):
         for i in range(n):
@@ -63,7 +65,10 @@ def apply(
             )
         return h
 
-    feat1 = _conv(p["patch_embed"], x)
+    # io_bf16: inter-block activations (and their XLA convs / pixel
+    # shuffles) ride HBM in bf16 — the fused kernel computes in float32
+    # internally either way; halves the streaming passes' IO.
+    feat1 = _conv(p["patch_embed"], x).astype(act_dtype)
     e1 = run_stage(feat1, "encoder_level1", nb[0], heads[0])
 
     e2 = pixel_unshuffle(_conv(p["down1_2"]["conv"], e1), 2)
@@ -92,13 +97,14 @@ def apply(
 
     if dual_pixel_task:
         d1 = d1 + _conv(p["skip_conv"], feat1)
-        return _conv(p["output"], d1)
-    return _conv(p["output"], d1) + x
+        return _conv(p["output"], d1).astype(jnp.float32)
+    return _conv(p["output"], d1).astype(jnp.float32) + x
 
 
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
-    mm_bf16: bool = False, interpret: bool = False, **config,
+    mm_bf16: bool = False, io_bf16: bool = False, interpret: bool = False,
+    **config,
 ):
     """apply_fn(params, x) for the engine's InferenceModel.
 
@@ -109,7 +115,8 @@ def make_apply_fn(
     def fn(params, x):
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
-            row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret, **config,
+            row_tile=row_tile, mm_bf16=mm_bf16, io_bf16=io_bf16,
+            interpret=interpret, **config,
         )
 
     return fn
