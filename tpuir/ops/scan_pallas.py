@@ -2,10 +2,13 @@
 
 The XLA blocked associative scan (tpuir/ops/selective_scan.py) materializes
 every scan level through HBM; on v5e that makes MaIR's 36x4 scans dominate
-the forward (~0.5 s at 128^2). This kernel keeps the whole log-depth
-Hillis-Steele scan of each L-chunk resident in VMEM and fuses the
-discretization (softplus, exp, dt*B*u) and the output contraction
-(y = C.h + D.u), so HBM sees each operand exactly once.
+the forward (~0.5 s at 128^2). These kernels keep each L-chunk's whole
+scan resident in VMEM and fuse the discretization (softplus, exp, dt*B*u)
+and the output contraction (y = C.h + D.u), so HBM sees each operand
+exactly once. Two in-VMEM scan schedules exist: a radix-4 Blelloch over
+(a, b) pairs ('pairs') and the default two-level vertical scan ('vert',
+see _make_fused_kernel_vert) — the kernel is VPU-op-count-bound, and the
+vertical schedule needs fewer ops and no interleave relayouts.
 
 Grid: (B*K, D_tiles, L_chunks) with the chunk axis innermost; a (N, Dt)
 scratch carries the hidden state across chunks. Channel tiles put D on the
@@ -31,8 +34,9 @@ def _blelloch(a, b, n: int, d_tile: int):
     mops up when the length is 2 mod 4). Returns (A, B) where A = prefix
     products and B = prefix solutions with h0 = 0.
 
-    Radix 4 halves the number of interleave levels versus radix 2; the
-    levels are VMEM-traffic-bound, so that is ~2x on the scan's hot path.
+    Radix 4 halves the number of interleave levels versus radix 2 — fewer
+    level passes and relayouts on the scan's hot path (the vertical
+    schedule in _make_fused_kernel_vert goes further and needs none).
     """
     levels = []
     ca, cb = a, b
@@ -217,10 +221,11 @@ def _make_fused_kernel(chunk: int, n: int, r: int, d_tile: int,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-    # serving also stores the scan's (a, b) level arrays in bf16: the
-    # Blelloch levels are VMEM-traffic-bound, so this is ~2x on them; the
-    # exponential forgetting of the recurrence keeps the compounded
-    # rounding small (quantified by scripts/validate_serving.py)
+    # serving also stores the scan's (a, b) level arrays in bf16; measured
+    # roughly neutral on v5e (the kernel is op-bound, not byte-bound) but
+    # kept for parity with the historical serving numbers. The exponential
+    # forgetting of the recurrence keeps the compounded rounding small
+    # (quantified by scripts/validate_serving.py).
     level_dtype = jnp.bfloat16 if serving else jnp.float32
 
     def kernel(xs_ref, wxp_ref, wdt_ref, A_ref, D_ref, bias_ref, y_ref,
