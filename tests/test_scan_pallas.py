@@ -88,3 +88,40 @@ def test_fused_proj_serving_mode_close():
     rel = np.abs(got - want) / scale
     assert rel.max() < 0.08, rel.max()
     assert rel.mean() < 0.01, rel.mean()
+
+
+def test_fused_proj_gradients_match_composition():
+    """jax.grad flows through the fused kernel via the custom_vjp (the
+    backward differentiates the einsum+selective_scan composition), so
+    TPU training of MaIR through the fused path has correct gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuir.ops.scan_pallas import (
+        _reference_composition,
+        selective_scan_fused_proj,
+    )
+
+    rng = np.random.RandomState(5)
+    b, k, L, d, n, r = 1, 2, 32, 16, 4, 2
+    args = (
+        jnp.asarray(rng.randn(b, k, L, d), jnp.float32),
+        jnp.asarray(rng.randn(k, r + 2 * n, d) * 0.2, jnp.float32),
+        jnp.asarray(rng.randn(k, d, r) * 0.2, jnp.float32),
+        jnp.asarray(-np.exp(rng.randn(k, d, n) * 0.3), jnp.float32),
+        jnp.asarray(rng.randn(k, d), jnp.float32),
+        jnp.asarray(rng.randn(k, d) * 0.2, jnp.float32),
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(
+            selective_scan_fused_proj(*a, chunk=16, interpret=True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_reference_composition(*a, chunk=16)))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for got, want in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-3)

@@ -333,29 +333,8 @@ def _make_fused_kernel_vert(chunk: int, n: int, r: int, d_tile: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("chunk", "serving", "algo", "vert_p", "interpret")
-)
-def selective_scan_fused_proj(
-    xs: jnp.ndarray,  # (B, K, L, D) post-dwconv scanned sequences
-    x_proj_w: jnp.ndarray,  # (K, R + 2N, D)
-    dt_w: jnp.ndarray,  # (K, D, R)
-    A: jnp.ndarray,  # (K, D, N) (already -exp(A_log))
-    D: jnp.ndarray,  # (K, D)
-    delta_bias: jnp.ndarray,  # (K, D)
-    chunk: int = 256,
-    serving: bool = False,  # bf16 projections + bf16 level storage
-    algo: str = "vert",  # 'vert' = two-level vertical scan (sequential
-    #   positions x vectorized subchunks; measured ~11% faster than
-    #   'pairs', the (a,b)-pair radix-4 Blelloch, which remains selectable)
-    vert_p: int = 16,  # subchunk length P of the vertical scan
-    interpret: bool = False,
-) -> jnp.ndarray:
-    if chunk <= 0 or (chunk & (chunk - 1)) != 0:
-        raise ValueError(
-            f"chunk must be a power of two (Blelloch pairing halves the "
-            f"level each step); got {chunk}"
-        )
+def _fused_forward(xs, x_proj_w, dt_w, A, D, delta_bias,
+                   chunk, serving, algo, vert_p, interpret):
     b, k, L, d = xs.shape
     r_plus_2n = x_proj_w.shape[1]
     n = A.shape[-1]
@@ -405,3 +384,78 @@ def selective_scan_fused_proj(
         interpret=interpret,
     )(xs_p, wxp, wdt, A_p, D_p, bias_p)
     return y.reshape(b, k, Lp, Dp)[:, :, :L, :d]
+
+
+# The pallas kernels have no lowering for reverse-mode autodiff, but the
+# fused op == (einsum projections + selective_scan); training (jax.grad on
+# TPU through SSMixer) therefore differentiates that XLA composition in
+# the backward pass while the forward keeps the fused kernel.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused_vjp(xs, x_proj_w, dt_w, A, D, delta_bias,
+               chunk, serving, algo, vert_p, interpret):
+    return _fused_forward(xs, x_proj_w, dt_w, A, D, delta_bias,
+                          chunk, serving, algo, vert_p, interpret)
+
+
+def _fused_fwd(xs, x_proj_w, dt_w, A, D, delta_bias,
+               chunk, serving, algo, vert_p, interpret):
+    y = _fused_forward(xs, x_proj_w, dt_w, A, D, delta_bias,
+                       chunk, serving, algo, vert_p, interpret)
+    return y, (xs, x_proj_w, dt_w, A, D, delta_bias)
+
+
+def _reference_composition(xs, wxp, wdt, A, D, bias, chunk):
+    from tpuir.ops.selective_scan import selective_scan
+
+    n = A.shape[-1]
+    r = wxp.shape[1] - 2 * n
+    xs32 = xs.astype(jnp.float32)
+    xdbl = jnp.einsum("bkld,kcd->bklc", xs32, wxp,
+                      preferred_element_type=jnp.float32)
+    dts = jnp.einsum("bklr,kdr->bkld", xdbl[..., :r], wdt,
+                     preferred_element_type=jnp.float32)
+    return selective_scan(
+        xs32, dts, A, xdbl[..., r : r + n], xdbl[..., r + n :], D, bias,
+        delta_softplus=True, chunk=chunk,
+    )
+
+
+def _fused_bwd(chunk, serving, algo, vert_p, interpret, res, g):
+    xs, wxp, wdt, A, D, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_composition(*a, chunk=chunk),
+        xs, wxp, wdt, A, D, bias,
+    )
+    return vjp(g)
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "serving", "algo", "vert_p", "interpret")
+)
+def selective_scan_fused_proj(
+    xs: jnp.ndarray,  # (B, K, L, D) post-dwconv scanned sequences
+    x_proj_w: jnp.ndarray,  # (K, R + 2N, D)
+    dt_w: jnp.ndarray,  # (K, D, R)
+    A: jnp.ndarray,  # (K, D, N) (already -exp(A_log))
+    D: jnp.ndarray,  # (K, D)
+    delta_bias: jnp.ndarray,  # (K, D)
+    chunk: int = 256,
+    serving: bool = False,  # bf16 projections + bf16 level storage
+    algo: str = "vert",  # 'vert' = two-level vertical scan (sequential
+    #   positions x vectorized subchunks; measured ~11% faster than
+    #   'pairs', the (a,b)-pair radix-4 Blelloch, which remains selectable)
+    vert_p: int = 16,  # subchunk length P of the vertical scan
+    interpret: bool = False,
+) -> jnp.ndarray:
+    if chunk <= 0 or (chunk & (chunk - 1)) != 0:
+        raise ValueError(
+            f"chunk must be a power of two (Blelloch pairing halves the "
+            f"level each step); got {chunk}"
+        )
+    return _fused_vjp(xs, x_proj_w, dt_w, A, D, delta_bias,
+                      chunk, serving, algo, vert_p, interpret)
