@@ -8,11 +8,16 @@ pinned by tests/test_serving_mode.py and scripts/validate_serving.py).
 
   * Restormer: fused Pallas blocks (mm_bf16, row_tile 16) at the harness
     patch size 256, engine batch regime (8 patches per step).
-    vs_baseline: ratio against 4x an A100's estimated ~3.0 Mpix/s
-    (override with TPUIR_BENCH_A100_MPIXPS).
-  * MaIR-CDN: radix-4 fused-projection Pallas scan, bf16 scan IO, at the
-    harness patch size 128. vs_baseline: ratio against the 0.4 Mpix/s
-    round-2 target (VERDICT r1).
+  * MaIR-CDN: fused-projection Pallas scan, bf16 scan IO, at the harness
+    patch size 128.
+
+Both rows use the SAME kind of denominator (VERDICT r2 weak #6):
+vs_baseline = Mpix/s over 4x the model's estimated A100 throughput
+(Restormer ~3.0 Mpix/s, MaIR-CDN ~0.1 Mpix/s — the reference's CUDA
+selective-scan path is slow; override with TPUIR_BENCH_A100_MPIXPS /
+TPUIR_BENCH_A100_MAIR_MPIXPS). The MaIR row also carries
+vs_soft_target, the ratio against the 0.4 Mpix/s round-2 soft target
+(VERDICT r1) that earlier rounds reported as vs_baseline.
 """
 
 import json
@@ -68,13 +73,15 @@ def main():
     mp = mair.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     xm = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
     mair_mpix = measure(mair.apply, mp, xm, iters)
+    a100_mair = float(os.environ.get("TPUIR_BENCH_A100_MAIR_MPIXPS", "0.1"))
     print(
         json.dumps(
             {
                 "metric": "mair_cdn_serving_128px_throughput",
                 "value": round(mair_mpix, 3),
                 "unit": "Mpix/s/chip",
-                "vs_baseline": round(mair_mpix / 0.4, 3),
+                "vs_baseline": round(mair_mpix / (4.0 * a100_mair), 3),
+                "vs_soft_target": round(mair_mpix / 0.4, 3),
             }
         ),
         flush=True,

@@ -100,6 +100,7 @@ def main():
         timeit("segment gather (4 dirs)", lambda q: seg_gather(q[0]), xf)
 
     if "all" in which or "surgery" in which:
+        os.environ["TPUIR_ALLOW_SURGERY"] = "1"  # benchmark-only opt-in
         os.environ["TPUIR_MAIR_SURGERY"] = ""
         from tpuir.models.mair import MaIR
 

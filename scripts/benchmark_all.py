@@ -80,6 +80,53 @@ def cases(large=False):
     return rows
 
 
+# Measured bf16 matmul peak on this v5e (docs/STATUS.md); every row is
+# ratioed against the same ceiling so MFU is comparable across modes.
+PEAK_FLOPS = 45e12
+
+_flops_cache: dict = {}
+
+
+def flops_estimate(model, in_ch, size, batch):
+    """Per-forward FLOPs via XLA cost analysis of the pure-XLA graph.
+
+    Lowered with TPUIR_FUSED=0 so the count reflects the XLA composition
+    (Pallas kernels report no flops to the analysis). Note the XLA-fallback
+    selective scan is a blocked associative scan, which does a log-factor
+    more work than the sequential recurrence — MaIR rows are therefore an
+    upper-bound flop count (MFU slightly optimistic).
+    """
+    key = (type(model).__name__, in_ch, size, batch)
+    if key in _flops_cache:
+        return _flops_cache[key]
+    prev = os.environ.get("TPUIR_FUSED")
+    os.environ["TPUIR_FUSED"] = "0"
+    try:
+        x = jnp.zeros((batch, size, size, in_ch), jnp.float32)
+        xi = jnp.zeros((1, min(size, 128), min(size, 128), in_ch), jnp.float32)
+        params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), xi))
+        params = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), params
+        )
+        lowered = jax.jit(model.apply).lower(params, x)
+        try:
+            cost = lowered.cost_analysis()  # pre-compile analysis when available
+        except Exception:
+            cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
+    except Exception:
+        flops = float("nan")
+    finally:
+        if prev is None:
+            os.environ.pop("TPUIR_FUSED", None)
+        else:
+            os.environ["TPUIR_FUSED"] = prev
+    _flops_cache[key] = flops
+    return flops
+
+
 def bench_case(model, apply_override, in_ch, size, precision, batch, iters=10):
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, size, size, in_ch), jnp.float32
@@ -124,13 +171,17 @@ def main():
     rows = cases(large)
     if large:  # run only the large-shape rows; results merge into the json
         rows = rows[len(cases(False)):]
-    print(f"{'Model':40s} {'ms/fwd':>9s} {'Mpix/s':>9s}")
+    print(f"{'Model':40s} {'ms/fwd':>9s} {'Mpix/s':>9s} {'MFU%':>6s}")
     for name, model, override, in_ch, size, prec, batch in rows:
         try:
             ms, mpix = bench_case(model, override, in_ch, size, prec, batch)
+            flops = flops_estimate(model, in_ch, size, batch)
+            mfu = flops / (ms / 1000.0) / PEAK_FLOPS * 100.0
             results[name] = {"ms_per_forward": round(ms, 2), "mpix_per_s": round(mpix, 3),
                              "batch": batch}
-            print(f"{name:40s} {ms:9.1f} {mpix:9.2f}", flush=True)
+            if mfu == mfu:  # not NaN
+                results[name]["mfu_pct"] = round(mfu, 1)
+            print(f"{name:40s} {ms:9.1f} {mpix:9.2f} {mfu:6.1f}", flush=True)
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"{name:40s} failed: {type(e).__name__}: {str(e)[:120]}", flush=True)

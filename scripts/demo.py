@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Gradio web demo — interactive restoration against the TPU backend.
 
-Functional redesign of the reference scripts/demo.py: task/subtask
-dropdowns, a model-availability matrix (gray/blind/sigma filtering mirrors
-demo.py:44-77), dataset sample gallery, optional AWGN degradation, patch
-size/overlap sliders, and a before/after image comparison.
+Thin Blocks shell over the plain-Python handler core in
+``tpuir/demo_core.py`` (task table, model-availability matrix, sample
+gallery, run/select/change handlers — all testable without gradio; see
+tests/test_demo_handlers.py). Mirrors the reference demo's UI surface
+(/root/reference/scripts/demo.py:295-526): task/subtask dropdowns,
+model-availability filtering, dataset sample gallery, optional AWGN
+degradation, patch size/overlap sliders, device selector, and a
+before/after comparison slider.
 
 Requires ``pip install gradio``; prints instructions when unavailable.
 """
@@ -14,123 +18,15 @@ import sys
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-from glob import glob
-
-import numpy as np
-
-from tpuir import zoo
-from tpuir.config import ROOT_DATASET_DIR, get_patch_config
-from tpuir.core.degrade import add_gaussian_noise
-from tpuir.core.engine import run_model_inference
-from tpuir.core.image_io import imread_uint8
-from tpuir.core.metrics import calculate_metrics
-from tpuir.utils.natsort import natsorted
-
-TASKS = {
-    "Denoising": {
-        "Gaussian (Gray, Non-blind)": ("denoising", "gaussian", True, [15, 25, 50]),
-        "Gaussian (Gray, Blind)": ("denoising", "gaussian", True, None),
-        "Gaussian (Color, Non-blind)": ("denoising", "gaussian", False, [15, 25, 50]),
-        "Gaussian (Color, Blind)": ("denoising", "gaussian", False, None),
-        "Real Noise": ("denoising", "real", False, None),
-    },
-    "Deblurring": {
-        "Defocus": ("deblurring", "defocus", False, None),
-        "Motion": ("deblurring", "motion", False, None),
-    },
-}
-
-SUBTASK_DATASET_DIRS = {
-    ("denoising", "gaussian"): os.path.join("denoising", "gaussian", "test"),
-    ("deblurring", "defocus"): os.path.join("deblurring", "defocus", "test"),
-    ("deblurring", "motion"): os.path.join("deblurring", "motion", "test"),
-}
-
-
-def available_models(task, subtask, gray, blind):
-    """Model-availability matrix (mirrors reference demo.py:44-77)."""
-    if task == "denoising" and subtask == "gaussian":
-        if gray:
-            return ["DnCNN", "Restormer"] if blind else ["REDNet", "DnCNN", "Restormer"]
-        return ["DnCNN", "Restormer"] if blind else ["Restormer", "MaIR"]
-    if task == "denoising" and subtask == "real":
-        return ["Restormer", "MaIR"]
-    if task == "deblurring" and subtask == "defocus":
-        return ["Restormer", "Restormer (Dual-pixel)"]
-    if task == "deblurring" and subtask == "motion":
-        return ["DeblurGANv2 (Inception)", "DeblurGANv2 (MobileNet)", "Restormer", "MaIR"]
-    return []
-
-
-def sample_images(task, subtask, max_n=12):
-    rel = SUBTASK_DATASET_DIRS.get((task, subtask))
-    if rel is None:
-        return []
-    root = os.path.join(os.environ.get("TPUIR_DATASET_DIR", ROOT_DATASET_DIR), rel)
-    files = []
-    for ds in sorted(glob(os.path.join(root, "*"))):
-        sub = os.path.join(ds, "input") if os.path.isdir(os.path.join(ds, "input")) else ds
-        files += natsorted(glob(os.path.join(sub, "*.*")))[:3]
-    return files[:max_n]
-
-
-def device_choices():
-    """Backend devices offered by the selector (reference demo.py:352-355
-    offers cuda/cpu; here every JAX device plus the host CPU)."""
-    import jax
-
-    names = [f"{d.platform}:{d.id}" for d in jax.devices()]
-    if not any(n.startswith("cpu") for n in names):
-        names.append("cpu:0")
-    return names
-
-
-def _resolve_device(name):
-    import jax
-
-    platform, _, idx = name.partition(":")
-    for d in jax.devices(platform):
-        if d.id == int(idx or 0):
-            return d
-    return jax.devices()[0]
-
-
-def run_restoration(image, subtask_label, model_name, sigma, add_noise,
-                    patch_size, patch_overlap, device_name=None, progress=None):
-    import jax
-
-    task, subtask, gray, sigmas = None, None, False, None
-    for t, subs in TASKS.items():
-        if subtask_label in subs:
-            task, subtask, gray, sigmas = subs[subtask_label]
-    if image is None:
-        raise ValueError("upload or pick an image first")
-    img = np.asarray(image)
-    if gray and img.ndim == 3:
-        img = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
-        img = img.round().astype(np.uint8)[:, :, None]
-    blind = "Blind" in subtask_label
-    model = zoo.get_model_instance(
-        task, subtask, model_name, gray=gray,
-        sigma=None if blind or sigmas is None else sigma,
-    )
-    if add_noise and subtask == "gaussian":
-        img = (add_gaussian_noise(img, sigma) * 255).round().astype(np.uint8)
-    dev_ctx = (
-        jax.default_device(_resolve_device(device_name))
-        if device_name else _nullcontext()
-    )
-    with dev_ctx:
-        pred, ms = run_model_inference(
-            model, img, patch_size=int(patch_size), patch_overlap=int(patch_overlap)
-        )
-    return img.squeeze(), pred.squeeze(), f"{ms:.0f} ms"
-
-
-def _nullcontext():
-    import contextlib
-
-    return contextlib.nullcontext()
+from tpuir.demo_core import (  # noqa: F401  (re-exported for callers)
+    TASKS,
+    available_models,
+    device_choices,
+    gallery_select,
+    run_restoration,
+    sample_images,
+    subtask_change,
+)
 
 
 def build_app():
@@ -171,20 +67,15 @@ def build_app():
         time_box = gr.Textbox(label="Inference time")
 
         def on_subtask(label):
-            for t, subs in TASKS.items():
-                if label in subs:
-                    task, sub, gray, sigmas = subs[label]
-                    models = available_models(task, sub, gray, "Blind" in label)
-                    pc = get_patch_config(task, sub, models[0])
-                    samples = sample_images(task, sub)
-                    return (
-                        gr.update(choices=models, value=models[0]),
-                        gr.update(visible=sigmas is not None),
-                        gr.update(value=(pc or {}).get("patch_size", 256)),
-                        gr.update(value=(pc or {}).get("patch_overlap", 48)),
-                        samples,
-                        samples,
-                    )
+            models, sigma_visible, ps, po, samples = subtask_change(label)
+            return (
+                gr.update(choices=models, value=models[0]),
+                gr.update(visible=sigma_visible),
+                gr.update(value=ps),
+                gr.update(value=po),
+                samples,
+                samples,
+            )
 
         subtask.change(
             on_subtask, [subtask],
@@ -192,9 +83,7 @@ def build_app():
         )
 
         def on_gallery_select(paths, evt: gr.SelectData):
-            # Select by index into the known sample list (reference
-            # demo.py:160-165) — robust across gradio's evt.value formats.
-            return imread_uint8(paths[evt.index])
+            return gallery_select(paths, evt.index)
 
         gallery.select(on_gallery_select, [sample_paths], inp)
 

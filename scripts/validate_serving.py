@@ -128,8 +128,14 @@ def main():
     deltas = {}
     for name, parity, serving, img in random_bundles():
         try:
-            out_p, ms_p = run_model_inference(parity, img)
-            out_s, ms_s = run_model_inference(serving, img)
+            # First calls include jit compilation (the fused paths take
+            # minutes through the tunneled remote compiler); warm up, then
+            # time a second run so parity_ms/serving_ms are comparable
+            # steady-state numbers (VERDICT r2 weak #4).
+            out_p, _ = run_model_inference(parity, img)
+            out_s, _ = run_model_inference(serving, img)
+            _, ms_p = run_model_inference(parity, img)
+            _, ms_s = run_model_inference(serving, img)
             deltas[name] = {
                 **delta_stats(out_p, out_s),
                 "parity_ms": round(ms_p, 1),

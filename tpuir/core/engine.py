@@ -141,25 +141,49 @@ class InferenceModel:
         self,
         patches: np.ndarray,
         progress_cb: Optional[Callable[[int, int], None]] = None,
+        max_in_flight: int = 4,
     ) -> np.ndarray:
         """Run (N, h, w, C) through the jitted step in fixed-size chunks.
 
-        All chunks are dispatched before any result is fetched, so the
-        device pipeline stays full (JAX dispatch is asynchronous).
+        Chunks are dispatched ahead of the fetches with a bounded window
+        (``max_in_flight`` un-fetched chunks), so device compute overlaps
+        host transfer without all patch outputs being device-resident at
+        once. The tail that does not fill ``batch_size`` is decomposed into
+        power-of-two sub-chunks (largest first) instead of being padded up
+        to the full batch — no wasted device work, and the set of compiled
+        shapes stays bounded by log2(batch)+1. ``progress_cb`` reports
+        *completed* (fetched) patches.
         """
         step = self._step()
         n = patches.shape[0]
         bs = max(1, min(self.batch_size, n))
-        pending = []
-        for i in range(0, n, bs):
-            chunk = patches[i : i + bs]
-            if chunk.shape[0] < bs:  # keep one compiled shape: pad the tail
-                reps = bs - chunk.shape[0]
-                chunk = np.concatenate([chunk, chunk[-1:].repeat(reps, axis=0)], axis=0)
-            pending.append(step(self.params, jnp.asarray(chunk)))
+        sizes = [bs] * (n // bs)
+        rem = n % bs
+        for b in reversed(range(rem.bit_length())):
+            if (rem >> b) & 1:
+                sizes.append(1 << b)
+
+        outs = []
+        pending: list = []  # (size, device_array) in dispatch order
+        done = 0
+
+        def fetch_one():
+            nonlocal done
+            sz, dev = pending.pop(0)
+            outs.append(np.asarray(dev))
+            done += sz
             if progress_cb is not None:
-                progress_cb(min(i + bs, n), n)
-        return np.concatenate([np.asarray(p) for p in pending], axis=0)[:n]
+                progress_cb(done, n)
+
+        off = 0
+        for sz in sizes:
+            pending.append((sz, step(self.params, jnp.asarray(patches[off : off + sz]))))
+            off += sz
+            if len(pending) > max_in_flight:
+                fetch_one()
+        while pending:
+            fetch_one()
+        return np.concatenate(outs, axis=0)
 
 
 def run_model_inference(
