@@ -98,7 +98,8 @@ def main():
     x = jnp.asarray(rng.rand(batch, size, size, 3), jnp.float32)
     if jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
         apply_fn = restormer_fused.make_apply_fn(
-            ln_bias=True, mm_bf16=True, row_tile=16
+            ln_bias=True, mm_bf16=True, row_tile=16, io_bf16=True,
+            fast_gelu=True,
         )
         rest_mpix = measure(apply_fn, rp, x, iters)
     else:

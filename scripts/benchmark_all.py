@@ -41,7 +41,7 @@ def cases(large=False):
 
     fused_parity = restormer_fused.make_apply_fn(ln_bias=True)
     fused_serving = restormer_fused.make_apply_fn(
-        ln_bias=True, mm_bf16=True, row_tile=16
+        ln_bias=True, mm_bf16=True, row_tile=16, io_bf16=True, fast_gelu=True
     )
     # (name, module, apply override, in_ch, patch size, precision, batch)
     rows = [

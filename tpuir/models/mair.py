@@ -81,12 +81,14 @@ class SSMixer(nn.Module):
     d_model: int
     d_state: int = 16
     expand: float = 2.0
-    scan_chunk: int = 256
+    scan_chunk: int = 256  # XLA-fallback scan chunk; the fused stripe
+    # kernel derives its chunk from H*scan_len (one NSS stripe)
+    scan_len: int = 4
     scan_io_dtype: str = "float32"  # bf16 halves gather/scan HBM traffic
     # in serving mode; the scan math itself stays float32 in-kernel
 
     @nn.compact
-    def __call__(self, x, ids):
+    def __call__(self, x, ids, shift: bool = False):
         B, H, W, _ = x.shape
         d_inner = int(self.expand * self.d_model)
         R = math.ceil(self.d_model / 16)
@@ -105,13 +107,25 @@ class SSMixer(nn.Module):
 
         import os as _os
 
-        _surgery = _os.environ.get("TPUIR_MAIR_SURGERY", "")  # benchmark hook
+        # Ablation surgery ('nogather'/'noscan') exists only for the
+        # benchmarks/explore_* cost decompositions; outputs are WRONG when
+        # active, so it refuses to run without the explicit benchmark opt-in.
+        _surgery = _os.environ.get("TPUIR_MAIR_SURGERY", "")
+        if _surgery:
+            if _os.environ.get("TPUIR_ALLOW_SURGERY") != "1":
+                raise RuntimeError(
+                    "TPUIR_MAIR_SURGERY is set but TPUIR_ALLOW_SURGERY=1 is "
+                    "not: the surgery modes skip the NSS gather or the scan "
+                    "and produce wrong restorations. Unset it, or set "
+                    "TPUIR_ALLOW_SURGERY=1 in benchmark ablations only."
+                )
+            import warnings
 
-        xf = x_.reshape(B, L, d_inner).astype(io_dtype)
-        if _surgery == "nogather":
-            xs = jnp.broadcast_to(xf[:, None], (B, K, L, d_inner))
-        else:
-            xs = jnp.take(xf, scan_ids, axis=1)  # (B, K, L, D)
+            warnings.warn(
+                f"MaIR ablation surgery {_surgery!r} active — model outputs "
+                "are intentionally WRONG (benchmark decomposition mode)",
+                stacklevel=2,
+            )
 
         x_proj_w = self.param(
             "x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner)
@@ -127,53 +141,88 @@ class SSMixer(nn.Module):
             (K, d_inner, N),
         )
         Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
-
-        import os
-
-        if _surgery == "noscan":
-            y = xs.astype(jnp.float32)
-        elif jax.default_backend() != "cpu" and os.environ.get("TPUIR_FUSED", "1") != "0":
-            # Fully-fused Pallas kernel: the (delta, B, C) projections, the
-            # discretization and the whole in-VMEM Blelloch chunk scan; HBM
-            # sees only xs (read) and y (write). Matches the XLA path to 1e-5.
-            from tpuir.ops.scan_pallas import selective_scan_fused_proj
-
-            y = selective_scan_fused_proj(
-                xs, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)),
-                Ds, dt_b, chunk=max(self.scan_chunk, 256),
-                serving=(io_dtype == jnp.bfloat16),
-            )
-        else:
-            xs = xs.astype(jnp.float32)
-            x_dbl = jnp.einsum(
-                "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
-            )
-            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-            dts = jnp.einsum(
-                "bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32
-            )
-            y = selective_scan(
-                xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
-                delta_softplus=True, chunk=self.scan_chunk,
-            )  # (B, K, L, D) float32
-
         # ShuffleAttn gate: per-(direction, channel) sigmoid of a 4x4 mix of
         # the 4 directions' global means of each channel.
-        pooled = jnp.mean(y, axis=2)  # (B, K, D)
         gw = self.param("gate_weight", nn.initializers.normal(0.02), (d_inner, K, K))
         gb = self.param("gate_bias", nn.initializers.zeros, (d_inner, K))
-        gates = jax.nn.sigmoid(
-            jnp.einsum("bid,doi->bod", pooled, gw) + gb.T[None]
-        )  # (B, K, D)
-        y = y * gates[:, :, None, :]
 
-        # Inverse NSS gather per direction, then sum the 4 directions.
-        y = y.astype(io_dtype)
-        if _surgery == "nogather":
-            y = jnp.sum(y, axis=1)
+        fused_ok = (
+            not _surgery
+            and jax.default_backend() != "cpu"
+            and _os.environ.get("TPUIR_FUSED", "1") != "0"
+            and H % self.scan_len == 0
+            and W % self.scan_len == 0
+        )
+        if fused_ok:
+            # Gather-fused Pallas kernel (tpuir/ops/nss_fused.py): stripe
+            # BlockSpecs + in-VMEM involutions replace the NSS gathers, the
+            # (delta, B, C) projections and the whole chunk scan run in
+            # VMEM, and y comes back per-direction in image layout with the
+            # gate's pooled sums as a side output — HBM never sees the
+            # scanned (B, K, L, D) sequences.
+            from tpuir.ops.nss_fused import nss_scan_fused
+
+            y01, y23, pooled = nss_scan_fused(
+                x_, x_proj_w, dt_w,
+                -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
+                scan_len=self.scan_len, shift=shift,
+                serving=(io_dtype == jnp.bfloat16),
+            )
+            gates = jax.nn.sigmoid(
+                jnp.einsum("bid,doi->bod", pooled / L, gw) + gb.T[None]
+            )  # (B, K, D)
+            y = jnp.einsum(
+                "bkhwd,bkd->bhwd", y01.astype(jnp.float32), gates[:, :2],
+            ) + jnp.einsum(
+                "bkwhd,bkd->bhwd", y23.astype(jnp.float32), gates[:, 2:],
+            )
+            y = y.reshape(B, L, d_inner)
         else:
-            y = jnp.take_along_axis(y, inv_ids[None, :, :, None], axis=2)
-            y = jnp.sum(y, axis=1)  # (B, L, D)
+            xf = x_.reshape(B, L, d_inner).astype(io_dtype)
+            if _surgery == "nogather":
+                xs = jnp.broadcast_to(xf[:, None], (B, K, L, d_inner))
+            else:
+                xs = jnp.take(xf, scan_ids, axis=1)  # (B, K, L, D)
+
+            if _surgery == "noscan":
+                y = xs.astype(jnp.float32)
+            elif jax.default_backend() != "cpu" and _os.environ.get("TPUIR_FUSED", "1") != "0":
+                # Fused-projection kernel without the stripe structure (the
+                # H/W-not-multiple-of-scan_len edge case).
+                from tpuir.ops.scan_pallas import selective_scan_fused_proj
+
+                y = selective_scan_fused_proj(
+                    xs, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)),
+                    Ds, dt_b, chunk=max(self.scan_chunk, 256),
+                    serving=(io_dtype == jnp.bfloat16),
+                )
+            else:
+                xs = xs.astype(jnp.float32)
+                x_dbl = jnp.einsum(
+                    "bkld,kcd->bklc", xs, x_proj_w, preferred_element_type=jnp.float32
+                )
+                dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+                dts = jnp.einsum(
+                    "bklr,kdr->bkld", dts, dt_w, preferred_element_type=jnp.float32
+                )
+                y = selective_scan(
+                    xs, dts, -jnp.exp(A_logs.astype(jnp.float32)), Bs, Cs, Ds, dt_b,
+                    delta_softplus=True, chunk=self.scan_chunk,
+                )  # (B, K, L, D) float32
+
+            pooled = jnp.mean(y, axis=2)  # (B, K, D)
+            gates = jax.nn.sigmoid(
+                jnp.einsum("bid,doi->bod", pooled, gw) + gb.T[None]
+            )  # (B, K, D)
+            y = y * gates[:, :, None, :]
+
+            # Inverse NSS gather per direction, then sum the 4 directions.
+            y = y.astype(io_dtype)
+            if _surgery == "nogather":
+                y = jnp.sum(y, axis=1)
+            else:
+                y = jnp.take_along_axis(y, inv_ids[None, :, :, None], axis=2)
+                y = jnp.sum(y, axis=1)  # (B, L, D)
 
         y = TorchLayerNorm(d_inner, name="out_norm")(y.astype(jnp.float32))
         y = y * nn.silu(z.reshape(B, L, d_inner))
@@ -195,14 +244,17 @@ class MaIRBlock(nn.Module):
     scan_chunk: int = 256
     drop_path: float = 0.0
     scan_io_dtype: str = "float32"
+    scan_len: int = 4
 
     @nn.compact
-    def __call__(self, x, ids, deterministic: bool = True):
+    def __call__(self, x, ids, deterministic: bool = True,
+                 shift: bool = False):
         h = TorchLayerNorm(self.dim, name="ln_1")(x)
         attn = SSMixer(
             self.dim, self.d_state, self.ssm_ratio, self.scan_chunk,
-            scan_io_dtype=self.scan_io_dtype, name="self_attention",
-        )(h, ids)
+            scan_len=self.scan_len, scan_io_dtype=self.scan_io_dtype,
+            name="self_attention",
+        )(h, ids, shift=shift)
         if self.drop_path > 0.0 and not deterministic:
             keep = 1.0 - self.drop_path
             rng = self.make_rng("dropout")
@@ -257,11 +309,12 @@ class MaIR(nn.Module):
                 blk = MaIRBlock(
                     self.embed_dim, self.d_state, self.ssm_ratio, self.mlp_ratio,
                     self.scan_chunk, drop_path=dpr[blk_idx],
-                    scan_io_dtype=self.scan_io_dtype,
+                    scan_io_dtype=self.scan_io_dtype, scan_len=self.scan_len,
                     name=f"layers_{i}_blocks_{j}",
                 )
                 blk_idx += 1
-                h = blk(h, shift_ids if j % 2 else ids, deterministic)
+                h = blk(h, shift_ids if j % 2 else ids, deterministic,
+                        shift=bool(j % 2))
             h = nn.Conv(self.embed_dim, (3, 3), padding=1, name=f"layers_{i}_conv")(h)
             h = h + g_in
         h = TorchLayerNorm(self.embed_dim, name="norm")(h)

@@ -43,7 +43,8 @@ class MaIRUNet(nn.Module):
         return [
             MaIRBlock(
                 dim, d_state, self.ssm_ratio, mlp_ratio, self.scan_chunk,
-                scan_io_dtype=self.scan_io_dtype, name=f"{prefix}_{i}",
+                scan_io_dtype=self.scan_io_dtype, scan_len=self.scan_len,
+                name=f"{prefix}_{i}",
             )
             for i in range(n)
         ]

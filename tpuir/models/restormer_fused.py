@@ -37,7 +37,8 @@ def _conv(p, x, stride=1, groups=1):
     jax.jit,
     static_argnames=(
         "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
-        "dual_pixel_task", "row_tile", "mm_bf16", "io_bf16", "interpret",
+        "dual_pixel_task", "row_tile", "mm_bf16", "io_bf16", "fast_gelu",
+        "interpret",
     ),
 )
 def apply(
@@ -51,6 +52,7 @@ def apply(
     row_tile: int = 8,
     mm_bf16: bool = False,
     io_bf16: bool = False,
+    fast_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     p = params["params"] if "params" in params else params
@@ -61,7 +63,8 @@ def apply(
         for i in range(n):
             h = fused_transformer_block(
                 h, p[f"{stage}_{i}"], n_heads, ln_bias,
-                row_tile=row_tile, mm_bf16=mm_bf16, interpret=interpret,
+                row_tile=row_tile, mm_bf16=mm_bf16, fast_gelu=fast_gelu,
+                interpret=interpret,
             )
         return h
 
@@ -103,7 +106,8 @@ def apply(
 
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
-    mm_bf16: bool = False, io_bf16: bool = False, interpret: bool = False,
+    mm_bf16: bool = False, io_bf16: bool = False, fast_gelu: bool = False,
+    interpret: bool = False,
     **config,
 ):
     """apply_fn(params, x) for the engine's InferenceModel.
@@ -116,7 +120,7 @@ def make_apply_fn(
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
             row_tile=row_tile, mm_bf16=mm_bf16, io_bf16=io_bf16,
-            interpret=interpret, **config,
+            fast_gelu=fast_gelu, interpret=interpret, **config,
         )
 
     return fn

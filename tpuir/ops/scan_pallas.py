@@ -361,9 +361,11 @@ def _fused_forward(xs, x_proj_w, dt_w, A, D, delta_bias,
             pltpu.VMEM((chunk // P, P, n, Dp), jnp.float32),
             pltpu.VMEM((chunk // P, P, n, Dp), jnp.float32),
         ]
-    else:
+    elif algo == "pairs":
         make = _make_fused_kernel
         extra_scratch = []
+    else:
+        raise ValueError(f"algo must be 'vert' or 'pairs'; got {algo!r}")
     y = pl.pallas_call(
         make(chunk, n, r, Dp, serving),
         grid=(b * k, Lp // chunk),

@@ -189,9 +189,13 @@ def build_restormer(weights_dir: str, task: str, subtask: str, gray: bool, sigma
     ):
         from tpuir.models import restormer_fused
 
+        # serving additionally streams inter-block activations in bf16
+        # (io_bf16) and uses the sigmoid-form GELU (fast_gelu) — both
+        # bounded by the trained-like section of validate_serving.py
         apply_fn = restormer_fused.make_apply_fn(
             ln_bias=ln_bias, dual_pixel_task=dual,
             mm_bf16=serving, row_tile=16 if serving else 8,
+            io_bf16=serving, fast_gelu=serving,
         )
     pc = get_patch_config(task, subtask.split("-")[0], "Restormer")
     return InferenceModel(
