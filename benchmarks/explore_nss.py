@@ -55,16 +55,16 @@ def main():
         x = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
         p = m.init(jax.random.PRNGKey(0), x)
         with jax.default_matmul_precision("float32"):
-            y_tpu = np.asarray(m.apply(p, x))
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            y_cpu = np.asarray(
-                jax.jit(m.apply, backend="cpu")(
-                    jax.device_put(p, cpu), jax.device_put(x, cpu)
-                )
-            )
-        d = np.abs(y_tpu - y_cpu).max()
-        print(f"correctness small MaIR fused-TPU vs XLA-CPU: max|d| = {d:.3e}",
+            # fresh lambdas: the env flag is read at TRACE time, so each
+            # variant needs its own jit cache entry
+            y_fused = np.asarray(jax.jit(lambda p, x: m.apply(p, x))(p, x))
+            os.environ["TPUIR_FUSED"] = "0"  # XLA gather+scan path, same chip
+            try:
+                y_xla = np.asarray(jax.jit(lambda p, x: m.apply(p, x))(p, x))
+            finally:
+                del os.environ["TPUIR_FUSED"]
+        d = np.abs(y_fused - y_xla).max()
+        print(f"correctness small MaIR fused vs XLA (TPU, f32): max|d| = {d:.3e}",
               flush=True)
         assert d < 5e-4, d
 

@@ -146,9 +146,13 @@ class SSMixer(nn.Module):
         gw = self.param("gate_weight", nn.initializers.normal(0.02), (d_inner, K, K))
         gb = self.param("gate_bias", nn.initializers.zeros, (d_inner, K))
 
+        # TPUIR_FUSED_INTERPRET=1 forces the fused branch in Pallas
+        # interpret mode on CPU (test-only: exercises the branch's combine
+        # logic without TPU hardware).
+        _interp = _os.environ.get("TPUIR_FUSED_INTERPRET") == "1"
         fused_ok = (
             not _surgery
-            and jax.default_backend() != "cpu"
+            and (jax.default_backend() != "cpu" or _interp)
             and _os.environ.get("TPUIR_FUSED", "1") != "0"
             and H % self.scan_len == 0
             and W % self.scan_len == 0
@@ -166,7 +170,7 @@ class SSMixer(nn.Module):
                 x_, x_proj_w, dt_w,
                 -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
                 scan_len=self.scan_len, shift=shift,
-                serving=(io_dtype == jnp.bfloat16),
+                serving=(io_dtype == jnp.bfloat16), interpret=_interp,
             )
             gates = jax.nn.sigmoid(
                 jnp.einsum("bid,doi->bod", pooled / L, gw) + gb.T[None]

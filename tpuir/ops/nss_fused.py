@@ -209,39 +209,43 @@ def _make_kernel(chunk, n, r, d_tile, serving, P):
     return kernel
 
 
-def _seq_scan_call(xs2, wxp, wdt, A2, D2, bias2, serving, vert_p, chunk,
+def _seq_scan_call(xs4, wxp, wdt, A2, D2, bias2, serving, vert_p, chunk,
                    interpret):
-    """xs2: (B, 2, L, Dp) sequence tensors for one direction pair.
-    Returns (y (B, 2, L, Dp) io-dtype, pooled (B, 2, Dp) f32)."""
-    B, _, L, Dp = xs2.shape
-    n = A2.shape[1]  # A2 is (2, N, Dp) — already transposed
+    """xs4: (B, K, L, Dp) sequence tensors, one per direction. ONE
+    pallas_call covers all K directions (grid bk = b*K + k) — besides the
+    launch amortization, two separate same-shaped calls were observed to
+    collide on TPU (the second call's operands leaked into the first's
+    results; merged, the direction index is explicit in the grid).
+    Returns (y (B, K, L, Dp) io-dtype, pooled (B, K, Dp) f32)."""
+    B, K, L, Dp = xs4.shape
+    n = A2.shape[1]  # A2 is (K, N, Dp) — already transposed
     r = wxp.shape[1] - 2 * n
     lp = (-L) % chunk
     if lp:
-        xs2 = jnp.pad(xs2, ((0, 0), (0, 0), (0, lp), (0, 0)))
+        xs4 = jnp.pad(xs4, ((0, 0), (0, 0), (0, lp), (0, 0)))
     Lp = L + lp
     P = vert_p if chunk % vert_p == 0 else chunk
     out_dtype = jnp.bfloat16 if serving else jnp.float32
 
     y, pooled = pl.pallas_call(
         _make_kernel(chunk, n, r, Dp, serving, P),
-        grid=(B * 2, Lp // chunk),
+        grid=(B * K, Lp // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, Dp),
                          lambda bk, lc: (bk, lc, 0)),
-            pl.BlockSpec((1, r + 2 * n, Dp), lambda bk, lc: (bk % 2, 0, 0)),
-            pl.BlockSpec((1, Dp, r), lambda bk, lc: (bk % 2, 0, 0)),
-            pl.BlockSpec((1, n, Dp), lambda bk, lc: (bk % 2, 0, 0)),
-            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % 2, 0, 0)),
-            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % 2, 0, 0)),
+            pl.BlockSpec((1, r + 2 * n, Dp), lambda bk, lc: (bk % K, 0, 0)),
+            pl.BlockSpec((1, Dp, r), lambda bk, lc: (bk % K, 0, 0)),
+            pl.BlockSpec((1, n, Dp), lambda bk, lc: (bk % K, 0, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % K, 0, 0)),
+            pl.BlockSpec((1, 1, Dp), lambda bk, lc: (bk % K, 0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, chunk, Dp), lambda bk, lc: (bk, lc, 0)),
             pl.BlockSpec((1, 8, Dp), lambda bk, lc: (bk, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * 2, Lp, Dp), out_dtype),
-            jax.ShapeDtypeStruct((B * 2, 8, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B * K, Lp, Dp), out_dtype),
+            jax.ShapeDtypeStruct((B * K, 8, Dp), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, Dp), jnp.float32),
@@ -253,11 +257,11 @@ def _seq_scan_call(xs2, wxp, wdt, A2, D2, bias2, serving, vert_p, chunk,
         ),
         interpret=interpret,
     )(
-        xs2.reshape(B * 2, Lp, Dp), wxp, wdt, A2, D2[:, None], bias2[:, None]
+        xs4.reshape(B * K, Lp, Dp), wxp, wdt, A2, D2[:, None], bias2[:, None]
     )
     return (
-        y.reshape(B, 2, Lp, Dp)[:, :, :L],
-        pooled.reshape(B, 2, 8, Dp)[:, :, 0],
+        y.reshape(B, K, Lp, Dp)[:, :, :L],
+        pooled.reshape(B, K, 8, Dp)[:, :, 0],
     )
 
 
@@ -277,28 +281,24 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
     # direction sequences: k=0 scans x, k=1 scans rot180(x), k=2/3 the same
     # on the transposed image (shift_scanf_util.py:130-158 sscan_4d)
     xT = jnp.transpose(xp, (0, 2, 1, 3))
-    seq01 = jnp.stack(
+    seq4 = jnp.stack(
         [_image_to_seq(xp, scan_len, shift),
-         _image_to_seq(_rot180(xp), scan_len, shift)], axis=1,
-    )
-    seq23 = jnp.stack(
-        [_image_to_seq(xT, scan_len, shift),
+         _image_to_seq(_rot180(xp), scan_len, shift),
+         _image_to_seq(xT, scan_len, shift),
          _image_to_seq(_rot180(xT), scan_len, shift)], axis=1,
-    )
+    )  # (B, 4, L, Dp)
 
-    y01s, p01 = _seq_scan_call(seq01, wxp[:2], wdt[:2], A_p[:2], D_p[:2],
-                               bias_p[:2], serving, vert_p, chunk, interpret)
-    y23s, p23 = _seq_scan_call(seq23, wxp[2:], wdt[2:], A_p[2:], D_p[2:],
-                               bias_p[2:], serving, vert_p, chunk, interpret)
+    ys, pooled = _seq_scan_call(seq4, wxp, wdt, A_p, D_p, bias_p,
+                                serving, vert_p, chunk, interpret)
 
     # un-permute to image layout (fuses into the caller's combine reads)
-    y0 = _seq_to_image(y01s[:, 0], H, W, scan_len, shift)
-    y1 = _rot180(_seq_to_image(y01s[:, 1], H, W, scan_len, shift))
-    y2 = _seq_to_image(y23s[:, 0], W, H, scan_len, shift)
-    y3 = _rot180(_seq_to_image(y23s[:, 1], W, H, scan_len, shift))
+    y0 = _seq_to_image(ys[:, 0], H, W, scan_len, shift)
+    y1 = _rot180(_seq_to_image(ys[:, 1], H, W, scan_len, shift))
+    y2 = _seq_to_image(ys[:, 2], W, H, scan_len, shift)
+    y3 = _rot180(_seq_to_image(ys[:, 3], W, H, scan_len, shift))
     y01 = jnp.stack([y0, y1], axis=1)[..., :d]
     y23 = jnp.stack([y2, y3], axis=1)[..., :d]
-    pooled = jnp.concatenate([p01, p23], axis=1)[:, :, :d]  # (B, 4, d)
+    pooled = pooled[:, :, :d]  # (B, 4, d)
     return y01, y23, pooled
 
 
