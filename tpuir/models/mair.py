@@ -81,8 +81,10 @@ class SSMixer(nn.Module):
     d_model: int
     d_state: int = 16
     expand: float = 2.0
-    scan_chunk: int = 256  # XLA-fallback scan chunk; the fused stripe
-    # kernel derives its chunk from H*scan_len (one NSS stripe)
+    scan_chunk: int = 256  # XLA-fallback scan chunk, honored exactly on the
+    # XLA path. The fused-projection Pallas kernel needs >=256 positions per
+    # grid step to keep its in-VMEM projections MXU-shaped, so values below
+    # 256 are clamped there (measured flat 256..1024, docs/STATUS.md).
     scan_len: int = 4
     scan_io_dtype: str = "float32"  # bf16 halves gather/scan HBM traffic
     # in serving mode; the scan math itself stays float32 in-kernel
@@ -172,13 +174,23 @@ class SSMixer(nn.Module):
                 scan_len=self.scan_len, shift=shift,
                 serving=(io_dtype == jnp.bfloat16), interpret=_interp,
             )
+            # NOTE: these contractions must run at f32 — TPU's default
+            # matmul precision is bf16 passes, and a 4e-3 relative error
+            # here compounds ~3x per block through the LayerNorms (0.36
+            # max-abs by block 4 on a random-weight model).
             gates = jax.nn.sigmoid(
-                jnp.einsum("bid,doi->bod", pooled / L, gw) + gb.T[None]
+                jnp.einsum("bid,doi->bod", pooled / L, gw,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32) + gb.T[None]
             )  # (B, K, D)
             y = jnp.einsum(
                 "bkhwd,bkd->bhwd", y01.astype(jnp.float32), gates[:, :2],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             ) + jnp.einsum(
                 "bkwhd,bkd->bhwd", y23.astype(jnp.float32), gates[:, 2:],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
             y = y.reshape(B, L, d_inner)
         else:

@@ -15,8 +15,9 @@ directions 2/3 — and within a stripe the permutation is a composition of
 involutions: a vertical flip on alternating stripes, a boustrophedon
 reversal of odd rows, and a 180-degree rotation for the reversed
 directions. That makes the whole permutation expressible as
-reshape/transpose/reverse/select — ordinary XLA copies that run at HBM
-bandwidth and fuse with neighbours — instead of gathers:
+reshape/transpose/reverse/slice/concat — ordinary XLA copies that run at
+HBM bandwidth and fuse with neighbours — instead of gathers (see
+``_alt_flip`` for why select/where is deliberately NOT used):
 
   * forward: one fused XLA copy builds each direction pair's sequence
     tensor directly from the image (the producer silu/pad fuses in);
@@ -50,13 +51,45 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 
+def _alt_flip(x, axis, flip_axis, flip_parity):
+    """Reverse ``flip_axis`` on indices of ``axis`` with index % 2 ==
+    flip_parity — implemented with slice/flip/concat ONLY.
+
+    Deliberately avoids ``jnp.where(parity_mask, jnp.flip(x), x)``: that
+    select pattern, fused into the producer of a Mosaic (pallas_call)
+    operand whose input chain itself starts at a previous pallas_call's
+    output, miscompiles on TPU — the kernel's first grid iterations read
+    wrong data (observed max-abs ~2 on unit-scale inputs; the gather- and
+    slice/concat-built sequences are correct under the identical kernel).
+    """
+    n = x.shape[axis]
+    if n == 1:
+        return jnp.flip(x, axis=flip_axis) if flip_parity == 0 else x
+    if n % 2:
+        # peel the final (even-index) element, pair up the rest
+        head = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+        tail = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        if flip_parity == 0:
+            tail = jnp.flip(tail, axis=flip_axis)
+        return jnp.concatenate(
+            [_alt_flip(head, axis, flip_axis, flip_parity), tail], axis=axis
+        )
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [n // 2, 2]
+    xr = x.reshape(shape)
+    fa = flip_axis + 1 if flip_axis > axis else flip_axis
+    ev = jax.lax.slice_in_dim(xr, 0, 1, axis=axis + 1)
+    od = jax.lax.slice_in_dim(xr, 1, 2, axis=axis + 1)
+    if flip_parity == 0:
+        ev = jnp.flip(ev, axis=fa)
+    else:
+        od = jnp.flip(od, axis=fa)
+    return jnp.concatenate([ev, od], axis=axis + 1).reshape(x.shape)
+
+
 def _bous(x, row_axis, col_axis):
     """Boustrophedon: reverse ``col_axis`` on odd indices of ``row_axis``."""
-    h = x.shape[row_axis]
-    par = jnp.arange(h) % 2 == 1
-    shape = [1] * x.ndim
-    shape[row_axis] = h
-    return jnp.where(par.reshape(shape), jnp.flip(x, axis=col_axis), x)
+    return _alt_flip(x, row_axis, col_axis, flip_parity=1)
 
 
 def _stripes_to_seq(x4, flip_parity):
@@ -64,8 +97,7 @@ def _stripes_to_seq(x4, flip_parity):
     vertical flip (stripes with index % 2 == flip_parity run bottom-up),
     the boustrophedon, and flattens to (B, S*H*SL, D)."""
     B, S, H, SL, D = x4.shape
-    spar = (jnp.arange(S) % 2 == flip_parity).reshape(1, S, 1, 1, 1)
-    x4 = jnp.where(spar, jnp.flip(x4, axis=2), x4)
+    x4 = _alt_flip(x4, axis=1, flip_axis=2, flip_parity=flip_parity)
     x4 = _bous(x4, row_axis=2, col_axis=3)
     return x4.reshape(B, S * H * SL, D)
 
@@ -75,8 +107,7 @@ def _seq_to_stripes(seq, S, H, SL, flip_parity):
     B, _, D = seq.shape
     x4 = seq.reshape(B, S, H, SL, D)
     x4 = _bous(x4, row_axis=2, col_axis=3)
-    spar = (jnp.arange(S) % 2 == flip_parity).reshape(1, S, 1, 1, 1)
-    return jnp.where(spar, jnp.flip(x4, axis=2), x4)
+    return _alt_flip(x4, axis=1, flip_axis=2, flip_parity=flip_parity)
 
 
 def _image_to_seq(x, scan_len, shift):
