@@ -108,10 +108,14 @@ def flops_estimate(model, in_ch, size, batch):
         params = jax.tree_util.tree_map(
             lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), params
         )
-        lowered = jax.jit(model.apply).lower(params, x)
-        try:
-            cost = lowered.cost_analysis()  # pre-compile analysis when available
-        except Exception:
+        # Lower for CPU: FLOP counts are backend-independent, the axon TPU
+        # backend returns None from pre-compile cost_analysis, and a CPU
+        # compile of the XLA graph takes <1 s vs minutes through the remote
+        # TPU compiler.
+        cpu = jax.devices("cpu")[0]
+        lowered = jax.jit(model.apply, device=cpu).lower(params, x)
+        cost = lowered.cost_analysis()
+        if cost is None:
             cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]

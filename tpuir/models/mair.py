@@ -152,10 +152,13 @@ class SSMixer(nn.Module):
         # interpret mode on CPU (test-only: exercises the branch's combine
         # logic without TPU hardware).
         _interp = _os.environ.get("TPUIR_FUSED_INTERPRET") == "1"
+        # TPUIR_NSS=0 benchmarking knob: fall through to the index-array
+        # gather + fused-projection-scan path for A/B comparison.
         fused_ok = (
             not _surgery
             and (jax.default_backend() != "cpu" or _interp)
             and _os.environ.get("TPUIR_FUSED", "1") != "0"
+            and _os.environ.get("TPUIR_NSS", "1") != "0"
             and H % self.scan_len == 0
             and W % self.scan_len == 0
         )
@@ -174,23 +177,27 @@ class SSMixer(nn.Module):
                 scan_len=self.scan_len, shift=shift,
                 serving=(io_dtype == jnp.bfloat16), interpret=_interp,
             )
-            # NOTE: these contractions must run at f32 — TPU's default
+            # NOTE: the gate contraction must run at f32 — TPU's default
             # matmul precision is bf16 passes, and a 4e-3 relative error
             # here compounds ~3x per block through the LayerNorms (0.36
-            # max-abs by block 4 on a random-weight model).
+            # max-abs by block 4 on a random-weight model). The 4-direction
+            # combine itself is written as elementwise multiply-adds (VPU
+            # f32, fuses with the un-permute reads) rather than a K=4
+            # einsum — a HIGHEST-precision dot there lowered to a slow
+            # multi-pass contraction for what is really a weighted sum.
             gates = jax.nn.sigmoid(
                 jnp.einsum("bid,doi->bod", pooled / L, gw,
                            precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32) + gb.T[None]
             )  # (B, K, D)
-            y = jnp.einsum(
-                "bkhwd,bkd->bhwd", y01.astype(jnp.float32), gates[:, :2],
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "bkwhd,bkd->bhwd", y23.astype(jnp.float32), gates[:, 2:],
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
+            g = gates[:, :, None, None, :]  # (B, K, 1, 1, D)
+            y = (
+                y01[:, 0].astype(jnp.float32) * g[:, 0]
+                + y01[:, 1].astype(jnp.float32) * g[:, 1]
+                + jnp.transpose(y23[:, 0], (0, 2, 1, 3)).astype(jnp.float32)
+                * g[:, 2]
+                + jnp.transpose(y23[:, 1], (0, 2, 1, 3)).astype(jnp.float32)
+                * g[:, 3]
             )
             y = y.reshape(B, L, d_inner)
         else:

@@ -38,7 +38,7 @@ def _conv(p, x, stride=1, groups=1):
     static_argnames=(
         "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
         "dual_pixel_task", "row_tile", "mm_bf16", "io_bf16", "fast_gelu",
-        "interpret",
+        "lane_pack", "interpret",
     ),
 )
 def apply(
@@ -53,6 +53,7 @@ def apply(
     mm_bf16: bool = False,
     io_bf16: bool = False,
     fast_gelu: bool = False,
+    lane_pack: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     p = params["params"] if "params" in params else params
@@ -60,11 +61,19 @@ def apply(
     act_dtype = jnp.bfloat16 if io_bf16 else x.dtype
 
     def run_stage(h, stage, n, n_heads):
+        # lane-pack images through low-C stages (C*pack <= 128 keeps the
+        # packed channels inside one MXU/VPU lane tile); at Restormer's
+        # level 1 C=48 this roughly doubles lane utilization. Consecutive
+        # blocks' unpack/pack transposes cancel in XLA.
+        C = h.shape[-1]
+        pk = lane_pack
+        while pk > 1 and (C * pk > 128 or h.shape[0] % pk):
+            pk //= 2
         for i in range(n):
             h = fused_transformer_block(
                 h, p[f"{stage}_{i}"], n_heads, ln_bias,
                 row_tile=row_tile, mm_bf16=mm_bf16, fast_gelu=fast_gelu,
-                interpret=interpret,
+                lane_pack=pk, interpret=interpret,
             )
         return h
 
@@ -107,7 +116,7 @@ def apply(
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
     mm_bf16: bool = False, io_bf16: bool = False, fast_gelu: bool = False,
-    interpret: bool = False,
+    lane_pack: int = 1, interpret: bool = False,
     **config,
 ):
     """apply_fn(params, x) for the engine's InferenceModel.
@@ -120,7 +129,8 @@ def make_apply_fn(
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
             row_tile=row_tile, mm_bf16=mm_bf16, io_bf16=io_bf16,
-            fast_gelu=fast_gelu, interpret=interpret, **config,
+            fast_gelu=fast_gelu, lane_pack=lane_pack, interpret=interpret,
+            **config,
         )
 
     return fn

@@ -76,6 +76,37 @@ def _ln(x, w, b, subtract_mean: bool):
     return base * jax.lax.rsqrt(var + 1e-5) * w + b
 
 
+def _group_mean(x32, pack: int, C: int):
+    """Per-lane-group mean: lanes [g*C, (g+1)*C) share group g's mean.
+
+    Used by the lane-packed mode, where ``pack`` images ride side by side
+    in the lane dim and LayerNorm statistics must not mix images. The last
+    group's sum comes free as (total - others), so pack-1 masked reductions
+    suffice."""
+    li = jax.lax.broadcasted_iota(jnp.int32, x32.shape, x32.ndim - 1)
+    rem = jnp.sum(x32, axis=-1, keepdims=True)
+    parts = []
+    for g in range(pack - 1):
+        m = jnp.logical_and(li >= g * C, li < (g + 1) * C)
+        sg = jnp.sum(jnp.where(m, x32, 0.0), axis=-1, keepdims=True)
+        rem = rem - sg
+        parts.append((m, sg))
+    out = rem
+    for m, sg in parts:
+        out = jnp.where(m, sg, out)
+    return out / C
+
+
+def _ln_packed(x, w, b, subtract_mean: bool, pack: int, C: int):
+    """LayerNorm with per-image statistics in the lane-packed layout.
+    Same formula as _ln (mean of squared deviations), per channel group."""
+    x32 = x.astype(jnp.float32)
+    mu = _group_mean(x32, pack, C)
+    var = _group_mean((x32 - mu) ** 2, pack, C)
+    base = (x32 - mu) if subtract_mean else x32
+    return base * jax.lax.rsqrt(var + 1e-5) * w + b
+
+
 def _dwconv(t, w9):
     """t: (R, W, K) float32, w9: (9, K). Valid rows only: out (R-2, W, K).
 
@@ -97,9 +128,21 @@ def _dwconv(t, w9):
 
 def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                  H_real: int, ln_bias: bool, out_dtype, mm_bf16: bool,
-                 fast_gelu: bool = False):
+                 fast_gelu: bool = False, pack: int = 1):
+    """``C``/``hidden`` are PER-IMAGE sizes; with ``pack`` > 1 the kernel
+    operates on ``pack`` images side by side in the lane dim (Ck = pack*C
+    lanes) against block-diagonal weights — one MXU/VPU pass covers all
+    packed images, lifting lane utilization when C << 128 (e.g. Restormer
+    level-1 C=48 leaves 62% of the 128-lane tile idle unpacked)."""
     hc = C // heads
+    Ck = pack * C
+    hk = pack * hidden
     _gelu = _gelu_sigmoid if fast_gelu else _gelu_exact
+
+    def _lnrm(x, w, b):
+        if pack == 1:
+            return _ln(x, w, b, ln_bias)
+        return _ln_packed(x, w, b, ln_bias, pack, C)
 
     if mm_bf16:
         # serving mode: single-pass bf16 MXU matmuls with float32 accumulation
@@ -145,9 +188,9 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
             x_t = jnp.concatenate(
                 [pp_rows[:].astype(jnp.float32),
                  prev_tile[:].astype(jnp.float32), bot], axis=0
-            )  # (RT+4, W, C); row j <-> real row T*RT + j - 2
+            )  # (RT+4, W, Ck); row j <-> real row T*RT + j - 2
 
-            y = _ln(x_t, ln1[0], ln1[1], ln_bias)
+            y = _lnrm(x_t, ln1[0], ln1[1])
             # rows outside the real image must be exactly the dwconv's zero
             # padding (phantom rows pick up values through LN bias otherwise)
             jrow = jax.lax.broadcasted_iota(jnp.int32, (RT + 4, 1, 1), 0)
@@ -166,61 +209,88 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
             @pl.when(ph == 0)
             def _stats():
                 qk = _mm(
-                    y.reshape(-1, C), w_qk[:], ((1,), (0,))
-                ).reshape(RT + 4, W, 2 * C) * row_ok
-                dqk = _dwconv(qk, dw_qk[:])  # (RT+2, W, 2C)
+                    y.reshape(-1, Ck), w_qk[:], ((1,), (0,))
+                ).reshape(RT + 4, W, 2 * Ck) * row_ok
+                dqk = _dwconv(qk, dw_qk[:])  # (RT+2, W, 2Ck)
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, (RT, W, 1), 0)
                 mask = (T * RT + row_ids < H_real).astype(jnp.float32)
-                qf = (dqk[1 : RT + 1, :, :C] * mask).reshape(-1, C)
-                kf = (dqk[1 : RT + 1, :, C:] * mask).reshape(-1, C)
-                for h in range(heads):
-                    qh = qf[:, h * hc : (h + 1) * hc]
-                    kh = kf[:, h * hc : (h + 1) * hc]
-                    g_acc[h] += _mm(qh, kh, ((0,), (0,)))
-                    qs_acc[h] += jnp.sum(qh * qh, axis=0, keepdims=True)
-                    ks_acc[h] += jnp.sum(kh * kh, axis=0, keepdims=True)
+                qf = (dqk[1 : RT + 1, :, :Ck] * mask).reshape(-1, Ck)
+                kf = (dqk[1 : RT + 1, :, Ck:] * mask).reshape(-1, Ck)
+                if pack == 1:
+                    for h in range(heads):
+                        qh = qf[:, h * hc : (h + 1) * hc]
+                        kh = kf[:, h * hc : (h + 1) * hc]
+                        g_acc[h] += _mm(qh, kh, ((0,), (0,)))
+                        qs_acc[h] += jnp.sum(qh * qh, axis=0, keepdims=True)
+                        ks_acc[h] += jnp.sum(kh * kh, axis=0, keepdims=True)
+                else:
+                    # one full Ck x Ck Gram holds every (image, head) diag
+                    # block at once (cross-image/head blocks are unused)
+                    g_acc[0] += _mm(qf, kf, ((0,), (0,)))
+                    qs_acc[0] += jnp.sum(qf * qf, axis=0, keepdims=True)
+                    ks_acc[0] += jnp.sum(kf * kf, axis=0, keepdims=True)
 
             @pl.when(jnp.logical_and(ph == 0, rt == n_rt - 1))
             def _finalize():
-                for h in range(heads):
-                    qn = jnp.maximum(jnp.sqrt(qs_acc[h][0]), 1e-12)
-                    kn = jnp.maximum(jnp.sqrt(ks_acc[h][0]), 1e-12)
-                    logits = g_acc[h] / qn[:, None] / kn[None, :] * temp[0, h]
-                    attn[h] = jax.nn.softmax(logits, axis=-1)
+                if pack == 1:
+                    for h in range(heads):
+                        qn = jnp.maximum(jnp.sqrt(qs_acc[h][0]), 1e-12)
+                        kn = jnp.maximum(jnp.sqrt(ks_acc[h][0]), 1e-12)
+                        logits = g_acc[h] / qn[:, None] / kn[None, :] * temp[0, h]
+                        attn[h] = jax.nn.softmax(logits, axis=-1)
+                else:
+                    qn = jnp.maximum(jnp.sqrt(qs_acc[0][0]), 1e-12)
+                    kn = jnp.maximum(jnp.sqrt(ks_acc[0][0]), 1e-12)
+                    attn[0] = jnp.zeros((Ck, Ck), jnp.float32)
+                    for i in range(pack):
+                        for h in range(heads):
+                            s = i * C + h * hc
+                            e = s + hc
+                            logits = (
+                                g_acc[0][s:e, s:e]
+                                / qn[s:e][:, None] / kn[s:e][None, :]
+                                * temp[0, h]
+                            )
+                            attn[0, s:e, s:e] = jax.nn.softmax(logits, axis=-1)
 
             @pl.when(ph == 1)
             def _apply():
                 v = _mm(
-                    y.reshape(-1, C), w_v[:], ((1,), (0,))
-                ).reshape(RT + 4, W, C) * row_ok
-                vf = _dwconv(v, dw_v[:]).reshape(-1, C)  # (RT+2)*W rows
-                outs = []
-                for h in range(heads):
-                    vh = vf[:, h * hc : (h + 1) * hc]
-                    outs.append(_mm(vh, attn[h], ((1,), (1,))))
-                ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
-                ao = _mm(ao, w_proj[:], ((1,), (0,))).reshape(RT + 2, W, C)
+                    y.reshape(-1, Ck), w_v[:], ((1,), (0,))
+                ).reshape(RT + 4, W, Ck) * row_ok
+                vf = _dwconv(v, dw_v[:]).reshape(-1, Ck)  # (RT+2)*W rows
+                if pack == 1:
+                    outs = []
+                    for h in range(heads):
+                        vh = vf[:, h * hc : (h + 1) * hc]
+                        outs.append(_mm(vh, attn[h], ((1,), (1,))))
+                    ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
+                else:
+                    # block-diagonal attention matrix: one matmul applies
+                    # every (image, head) attention at once
+                    ao = _mm(vf, attn[0], ((1,), (1,)))
+                ao = _mm(ao, w_proj[:], ((1,), (0,))).reshape(RT + 2, W, Ck)
                 x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dqk rows)
 
-                y2 = _ln(x2, ln2[0], ln2[1], ln_bias)
+                y2 = _lnrm(x2, ln2[0], ln2[1])
                 h1 = _mm(
-                    y2.reshape(-1, C), w_fin[:], ((1,), (0,))
-                ).reshape(RT + 2, W, 2 * hidden)
+                    y2.reshape(-1, Ck), w_fin[:], ((1,), (0,))
+                ).reshape(RT + 2, W, 2 * hk)
                 irow = jax.lax.broadcasted_iota(jnp.int32, (RT + 2, 1, 1), 0)
                 real_i = T * RT + irow - 1
                 h1 = h1 * jnp.logical_and(
                     real_i >= 0, real_i < H_real
                 ).astype(jnp.float32)
-                hd = _dwconv(h1, dw_fin[:])  # (RT, W, 2*hidden)
-                gated = _gelu(hd[:, :, :hidden]) * hd[:, :, hidden:]
+                hd = _dwconv(h1, dw_fin[:])  # (RT, W, 2*hk)
+                gated = _gelu(hd[:, :, :hk]) * hd[:, :, hk:]
                 out_t = _mm(
-                    gated.reshape(-1, hidden), w_fout[:], ((1,), (0,))
-                ).reshape(RT, W, C)
+                    gated.reshape(-1, hk), w_fout[:], ((1,), (0,))
+                ).reshape(RT, W, Ck)
                 out_ref[0] = (x2[1 : RT + 1] + out_t).astype(out_dtype)
 
         @pl.when(jnp.logical_and(rt == 0, ph == 1))
         def _zero_first():
-            out_ref[0] = jnp.zeros((RT, W, C), out_dtype)
+            out_ref[0] = jnp.zeros((RT, W, Ck), out_dtype)
 
         # advance the ring (after compute): keep tile rt and its last 2 rows
         @pl.when(rt > 0)
@@ -234,7 +304,7 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "ln_bias", "row_tile", "mm_bf16", "fast_gelu",
-                     "interpret"),
+                     "lane_pack", "interpret"),
 )
 def fused_transformer_block(
     x: jnp.ndarray,
@@ -244,6 +314,7 @@ def fused_transformer_block(
     row_tile: int = 8,
     mm_bf16: bool = False,
     fast_gelu: bool = False,
+    lane_pack: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: (B, H, W, C). p holds the converted TransformerBlock params:
@@ -254,71 +325,122 @@ def fused_transformer_block(
     single-pass bf16 MXU ops with float32 accumulation (LN, softmax,
     residuals, and depthwise convs stay float32). Default is the parity
     mode (true-float32 matmuls).
+
+    ``lane_pack=p`` runs p images side by side in the lane dim against
+    block-diagonal weights (requires B % p == 0; sensible when p*C <= 128).
+    Math is identical per image — LN statistics are grouped, attention is a
+    block-diagonal matrix, GDFN weights are laid out per image.
     """
     B, H, W, C = x.shape
     hidden = p["ffn"]["project_in"]["kernel"].shape[-1] // 2
+    pk = lane_pack
+    if pk > 1 and B % pk:
+        raise ValueError(f"lane_pack={pk} requires batch % pack == 0; got B={B}")
     RT = row_tile
     Hp = H + ((-H) % RT)
     n_tiles = Hp // RT
     xp = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
 
+    if pk > 1:
+        # pack pk images into lanes: (B, Hp, W, C) -> (B/pk, Hp, W, pk*C)
+        xp = xp.reshape(B // pk, pk, Hp, W, C).transpose(0, 2, 3, 1, 4)
+        xp = xp.reshape(B // pk, Hp, W, pk * C)
+
+    def _blkdiag(w):
+        if pk == 1:
+            return w
+        return jax.scipy.linalg.block_diag(*([w] * pk))
+
+    def _lanetile(w):  # (9, c) depthwise taps -> (9, pk*c)
+        return w if pk == 1 else jnp.tile(w, (1, pk))
+
     def ln_pack(d):
         w = d["weight"].astype(jnp.float32)
         b = d.get("bias")
         b = jnp.zeros_like(w) if b is None else b.astype(jnp.float32)
+        if pk > 1:
+            w, b = jnp.tile(w, pk), jnp.tile(b, pk)
         return jnp.stack([w, b])
 
     w_qkv = p["attn"]["qkv"]["kernel"].reshape(C, 3 * C)
     dw_qkv = p["attn"]["qkv_dwconv"]["kernel"].reshape(9, 3 * C)
-    # output channels are ordered [q | k | v] (torch qkv.chunk(3, dim=1))
-    w_qk, w_v = w_qkv[:, : 2 * C], w_qkv[:, 2 * C :]
-    dw_qk, dw_v = dw_qkv[:, : 2 * C], dw_qkv[:, 2 * C :]
-    w_proj = p["attn"]["project_out"]["kernel"].reshape(C, C)
+    # output channels are ordered [q | k | v] (torch qkv.chunk(3, dim=1));
+    # packed layout per projection: [proj_img0 | proj_img1 | ...]
+    w_qk = jnp.concatenate(
+        [_blkdiag(w_qkv[:, :C]), _blkdiag(w_qkv[:, C : 2 * C])], axis=1
+    )
+    w_v = _blkdiag(w_qkv[:, 2 * C :])
+    dw_qk = jnp.concatenate(
+        [_lanetile(dw_qkv[:, :C]), _lanetile(dw_qkv[:, C : 2 * C])], axis=1
+    )
+    dw_v = _lanetile(dw_qkv[:, 2 * C :])
+    w_proj = _blkdiag(p["attn"]["project_out"]["kernel"].reshape(C, C))
     temp = p["attn"]["temperature"].reshape(1, heads).astype(jnp.float32)
-    w_fin = p["ffn"]["project_in"]["kernel"].reshape(C, 2 * hidden)
-    dw_fin = p["ffn"]["dwconv"]["kernel"].reshape(9, 2 * hidden)
-    w_fout = p["ffn"]["project_out"]["kernel"].reshape(hidden, C)
+    w_fin_full = p["ffn"]["project_in"]["kernel"].reshape(C, 2 * hidden)
+    w_fin = jnp.concatenate(
+        [_blkdiag(w_fin_full[:, :hidden]), _blkdiag(w_fin_full[:, hidden:])],
+        axis=1,
+    )
+    dw_fin_full = p["ffn"]["dwconv"]["kernel"].reshape(9, 2 * hidden)
+    dw_fin = jnp.concatenate(
+        [_lanetile(dw_fin_full[:, :hidden]), _lanetile(dw_fin_full[:, hidden:])],
+        axis=1,
+    )
+    w_fout = _blkdiag(p["ffn"]["project_out"]["kernel"].reshape(hidden, C))
 
     kernel = _make_kernel(RT, W, C, heads, hidden, H, ln_bias, x.dtype,
-                          mm_bf16, fast_gelu)
+                          mm_bf16, fast_gelu, pack=pk)
     hc = C // heads
+    Ck = pk * C
+    hk = pk * hidden
+    Bk = B // pk
     mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
     vmem = lambda shape: pl.BlockSpec(shape, lambda b, ph, rt: tuple([0] * len(shape)))  # noqa: E731
     n_rt = n_tiles + 1  # one-tile lag
+    if pk == 1:
+        stat_shapes = [
+            pltpu.VMEM((heads, hc, hc), jnp.float32),
+            pltpu.VMEM((heads, 1, hc), jnp.float32),
+            pltpu.VMEM((heads, 1, hc), jnp.float32),
+            pltpu.VMEM((heads, hc, hc), jnp.float32),
+        ]
+    else:
+        stat_shapes = [
+            pltpu.VMEM((1, Ck, Ck), jnp.float32),
+            pltpu.VMEM((1, 1, Ck), jnp.float32),
+            pltpu.VMEM((1, 1, Ck), jnp.float32),
+            pltpu.VMEM((1, Ck, Ck), jnp.float32),
+        ]
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, 2, n_rt),
+        grid=(Bk, 2, n_rt),
         in_specs=[
             pl.BlockSpec(
-                (1, RT, W, C),
+                (1, RT, W, Ck),
                 lambda b, ph, rt: (b, jnp.minimum(rt, n_rt - 2), 0, 0),
             ),
-            vmem((C, 2 * C)),
-            vmem((9, 2 * C)),
-            vmem((C, C)),
-            vmem((9, C)),
+            vmem((Ck, 2 * Ck)),
+            vmem((9, 2 * Ck)),
+            vmem((Ck, Ck)),
+            vmem((9, Ck)),
             vmem((1, heads)),
-            vmem((C, C)),
-            vmem((2, C)),
-            vmem((2, C)),
-            vmem((C, 2 * hidden)),
-            vmem((9, 2 * hidden)),
-            vmem((hidden, C)),
+            vmem((Ck, Ck)),
+            vmem((2, Ck)),
+            vmem((2, Ck)),
+            vmem((Ck, 2 * hk)),
+            vmem((9, 2 * hk)),
+            vmem((hk, Ck)),
         ],
         out_specs=pl.BlockSpec(
-            (1, RT, W, C),
+            (1, RT, W, Ck),
             lambda b, ph, rt: (b, jnp.maximum(rt - 1, 0), 0, 0),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bk, Hp, W, Ck), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((RT, W, C), x.dtype),  # prev_tile
-            pltpu.VMEM((2, W, C), x.dtype),  # pp_rows
-            pltpu.VMEM((heads, hc, hc), jnp.float32),
-            pltpu.VMEM((heads, 1, hc), jnp.float32),
-            pltpu.VMEM((heads, 1, hc), jnp.float32),
-            pltpu.VMEM((heads, hc, hc), jnp.float32),
-        ],
+            pltpu.VMEM((RT, W, Ck), x.dtype),  # prev_tile
+            pltpu.VMEM((2, W, Ck), x.dtype),  # pp_rows
+        ] + stat_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -332,4 +454,8 @@ def fused_transformer_block(
         w_fin.astype(mm_dtype), dw_fin.astype(jnp.float32),
         w_fout.astype(mm_dtype),
     )
-    return out[:, :H]
+    out = out[:, :H]
+    if pk > 1:
+        out = out.reshape(Bk, H, W, pk, C).transpose(0, 3, 1, 2, 4)
+        out = out.reshape(B, H, W, C)
+    return out

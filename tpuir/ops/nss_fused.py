@@ -301,6 +301,17 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
     B, H, W, d = x.shape
     dp = (-d) % 128
     Dp = d + dp
+    n_state = A.shape[-1]
+    # Bound the kernel's two (chunk/P, P, N, Dp) f32 carry scratches to what
+    # fits VMEM comfortably (~50 MB, the largest shape round 2 shipped).
+    # The deep MaIRUNet levels (Dp=768, N=32) blow past that at the default
+    # chunk=512 and the remote TPU compiler hard-fails. Also never chunk
+    # past the sequence itself: the latent level's L=256 would pad to 512
+    # and double the scan work.
+    l_cap = max(256, ((H * W + vert_p - 1) // vert_p) * vert_p)
+    chunk = min(chunk, l_cap)
+    while chunk > 256 and 8 * chunk * n_state * Dp > 50 * 1024 * 1024:
+        chunk //= 2
     io_dtype = jnp.bfloat16 if serving else jnp.float32
     xp = jnp.pad(x.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dp)))
     wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
