@@ -152,17 +152,47 @@ class SSMixer(nn.Module):
         # interpret mode on CPU (test-only: exercises the branch's combine
         # logic without TPU hardware).
         _interp = _os.environ.get("TPUIR_FUSED_INTERPRET") == "1"
-        # TPUIR_NSS=0 benchmarking knob: fall through to the index-array
-        # gather + fused-projection-scan path for A/B comparison.
-        fused_ok = (
+        # TPUIR_NSS A/B knob: 'stripe' (default) = gather-free stripe
+        # kernel, 'fused' = stripe-gather nss_fused kernel, '0' = index
+        # -array gather + fused-projection-scan path.
+        _nss_mode = _os.environ.get("TPUIR_NSS", "stripe")
+        if _nss_mode == "1":  # legacy alias from the round-3 A/B scripts
+            _nss_mode = "fused"
+        _pallas_ok = (
             not _surgery
             and (jax.default_backend() != "cpu" or _interp)
             and _os.environ.get("TPUIR_FUSED", "1") != "0"
-            and _os.environ.get("TPUIR_NSS", "1") != "0"
             and H % self.scan_len == 0
             and W % self.scan_len == 0
         )
-        if fused_ok:
+        stripe_ok = (
+            _pallas_ok and _nss_mode == "stripe" and H == W and H % 2 == 0
+        )
+        fused_ok = _pallas_ok and not stripe_ok and _nss_mode != "0"
+        if stripe_ok:
+            # Stripe-resident kernel (tpuir/ops/nss_stripe.py): the NSS
+            # permutation never touches HBM — BlockSpecs walk the natural
+            # -layout image in stripe order, the within-stripe involutions
+            # happen on VMEM blocks, and outputs come back in final image
+            # layout (half-split per direction; combine_halves fuses the
+            # parity select into the gated 4-direction sum).
+            from tpuir.ops.nss_stripe import combine_halves, nss_scan_stripe
+
+            oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
+                x_, x_proj_w, dt_w,
+                -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
+                scan_len=self.scan_len, shift=shift,
+                serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+            )
+            gates = jax.nn.sigmoid(
+                jnp.einsum("bid,doi->bod", pooled / L, gw,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32) + gb.T[None]
+            )  # (B, K, D)
+            y = combine_halves(
+                oL01, oR01, oL23, oR23, gates, shift, self.scan_len
+            ).reshape(B, L, d_inner)
+        elif fused_ok:
             # Gather-fused Pallas kernel (tpuir/ops/nss_fused.py): stripe
             # BlockSpecs + in-VMEM involutions replace the NSS gathers, the
             # (delta, B, C) projections and the whole chunk scan run in

@@ -1,0 +1,549 @@
+"""Stripe-resident NSS selective scan (MaIR) — gathers never touch HBM.
+
+Third-generation NSS path. Round 2 gathered the scanned sequences with
+``jnp.take`` (~24 ms of the 100 ms MaIR-CDN@128 serving forward measured
+by the surgery decomposition); the round-3 ``nss_fused`` op replaced the
+gathers with XLA reshape/reverse/concat assembly, which turned out no
+faster in-model — either way the four permuted (B, K, L, D) sequence
+tensors and the scanned outputs make full round trips through HBM.
+
+This op removes the permutation from HBM entirely. The NSS path consumes
+the image stripe by stripe (vertical stripes of width ``scan_len`` for
+directions 0/1, the same on the transposed image for 2/3 — reference
+/root/reference/src/mair/basicsr/archs/shift_scanf_util.py:67-158), so
+the kernel's BlockSpecs walk the *natural-layout* image in stripe order
+and the remaining within-stripe reordering (alternating vertical flip,
+boustrophedon, 180-degree rotation for the reversed directions) happens
+on VMEM-resident blocks where a flip is a cheap relayout, not an HBM
+gather. Per mixer, HBM sees: 4 reads of x (one per direction), 4
+block-writes of y in final image layout, nothing else.
+
+Layout of one grid step (b, j, t), j in {0, 1}:
+  * processes direction k = j (column stripes) and k = 2 + j (row
+    stripes) back to back, sharing the level-1 scan scratch;
+  * j = 0 handles the forward directions, j = 1 the 180-rotated ones —
+    their stripe t maps to mirror-image blocks of x, with the rotation
+    applied in VMEM;
+  * every stripe is read as two half-width (scan_len/2) blocks L and R
+    so the *shifted* variant's off-grid stripes stay block-aligned: its
+    lead/tail half-stripes load one half block twice and mask the
+    duplicate as identity steps of the recurrence (a=1, b=0), which
+    preserves the carry chain and the relative order of real positions.
+
+TPU block-shape rule: the last two dims of every block must be divisible
+by (8, 128) or equal the array dims, so a half-stripe cannot be a minor
+-dim (W-axis) slice of the natural image (half = scan_len/2 = 2). Both
+direction classes therefore read *row* blocks (1, half, X, Dp): the row
+directions straight off the natural-layout image, the column directions
+off a once-per-call major-dims transpose x^T (minor Dp dim unchanged —
+a cheap streaming relayout, ~1 image volume of traffic per mixer).
+
+Outputs come back split across two buffers per direction pair (left
+halves / right halves — one block write per buffer per step): row
+directions in final image layout, column directions in the x^T frame;
+``combine_halves`` fuses the half-parity select, the x^T un-transpose,
+and the gated 4-direction sum. The ShuffleAttn pooled sums ride along as
+revisited accumulator blocks, so the gate needs no inverse permutation
+(pool is permutation-invariant).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _serpentine(P: int, SL: int, row_rev: bool, col_rev: bool):
+    """Static map from local sequence position p in [0, P) to
+    (rr, c, oc): the row-in-subchunk and source-column read at chain step
+    p, plus the oriented (sequence-frame) column used for edge liveness.
+
+    RP = P // SL rows per subchunk must be EVEN so the global boustrophedon
+    parity of a row equals its in-subchunk parity for every subchunk, making
+    the whole NSS orientation static. ``row_rev`` visits the stripe's rows
+    bottom-up (alternating vertical flip XOR 180-rotation); ``col_rev``
+    mirrors the columns (180-rotation)."""
+    RP = P // SL
+    out = []
+    for p in range(P):
+        qr = p // SL  # sequence sub-row within the subchunk
+        k = p % SL  # serpentine position within the row
+        oc = k if qr % 2 == 0 else SL - 1 - k  # boustrophedon
+        rr = RP - 1 - qr if row_rev else qr
+        c = SL - 1 - oc if col_rev else oc
+        out.append((rr, c, oc))
+    return out
+
+
+def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
+                 shift: bool, serving: bool, P: int, out_dtype):
+    """Grid (B, 2, T) with T = S (+1 when shifted). Operands (in order):
+    xTL, xTR (row blocks of x^T — the column directions' stripes), xL, xR
+    (row blocks of x — the row directions' stripes), then per-pair weights
+    wxp/wdt/A/D/bias for the column direction and the row direction (10
+    refs), then outputs oL01, oR01 (x^T frame), oL23, oR23 (x frame),
+    pool01, pool23, then scratches.
+
+    The NSS orientation never moves data: the projections run on the
+    natural block layout (order-irrelevant, per-position), and the scan
+    visits elements through STATIC slice indices from ``_serpentine`` —
+    one of four (row_rev, col_rev) variants selected by ``pl.when`` on
+    grid indices. Mosaic needs no rev/transpose/gather anywhere."""
+    half = SL // 2
+    chunk = H * SL
+    RP = P // SL  # rows per subchunk (even)
+    S_ = chunk // P  # number of subchunks (vectorized axis)
+    m_mid = S - 1  # number of full stripes in the shifted variant
+
+    if serving:
+        def _proj(x, w, dims):
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (dims, ((), ())), preferred_element_type=jnp.float32,
+            )
+    else:
+        def _proj(x, w, dims):
+            return jax.lax.dot_general(
+                x, w, (dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    def kernel(xTL, xTR, xL, xR,
+               wxp_c, wdt_c, A_c, D_c, bias_c,
+               wxp_r, wdt_r, A_r, D_r, bias_r,
+               oL01, oR01, oL23, oR23, pool01, pool23,
+               h_carry, HA, HB, YS, SEQ, CEs):
+        j = pl.program_id(1)
+        t = pl.program_id(2)
+        is_rot = j == 1
+
+        @pl.when(t == 0)
+        def _reset():
+            h_carry[:] = jnp.zeros_like(h_carry)
+
+        if shift:
+            is_lead = t == 0
+            is_tail = t == S
+            is_edge = jnp.logical_or(is_lead, is_tail)
+            # full stripes flip when their mid index (t-1) is even; the
+            # tail flips iff m_mid is even; the lead never flips
+            flip_flag = jnp.where(
+                is_lead, False,
+                jnp.where(is_tail, m_mid % 2 == 0, (t - 1) % 2 == 0),
+            )
+        else:
+            is_edge = jnp.zeros((), jnp.bool_)
+            flip_flag = t % 2 == 1
+
+        # live mask over sequence positions: the oriented (sequence-frame)
+        # column oc is variant-independent, so one dynamic (1, P, 1)
+        # vector handles the shifted lead/tail edge masking for all four
+        # orientations (dead positions become identity steps a=1, b=0)
+        if shift:
+            p_iota = jax.lax.broadcasted_iota(jnp.int32, (1, P, 1), 1)
+            k_pos = p_iota % SL
+            oc_pat = jnp.where(
+                (p_iota // SL) % 2 == 0, k_pos, SL - 1 - k_pos
+            )
+            live = jnp.where(
+                jnp.logical_and(is_edge, oc_pat >= half), 0.0, 1.0
+            )
+        else:
+            live = None
+
+        def scan_dir(Lref, Rref, wxp, wdt, A, Dd, bias, slot, oL, oR,
+                     pool):
+            # natural block layout (SL, X, Dp): leading dim = stripe
+            # column, second = image row, viewed as (SL, S_, RP, Dp)
+            xs = jnp.concatenate([Lref[0], Rref[0]], axis=0)
+            x5 = xs.reshape(SL, S_, RP, Dp)
+
+            # reorder x into sequence order ONCE via P static slices (the
+            # only orientation-dependent data movement), then everything
+            # downstream is the plain contiguous two-level vertical scan
+            row_rev = jnp.logical_xor(is_rot, flip_flag)
+
+            def emit_gather(row_rev: bool, col_rev: bool):
+                for p_, (rr, c, _) in enumerate(
+                    _serpentine(P, SL, row_rev, col_rev)
+                ):
+                    SEQ[:, p_] = x5[c, :, rr]
+
+            for rv in (False, True):
+                for cv in (False, True):
+                    pl.when(jnp.logical_and(row_rev == rv, is_rot == cv))(
+                        functools.partial(emit_gather, rv, cv)
+                    )
+
+            xseq = SEQ[:].reshape(chunk, Dp)
+            xs32 = xseq.astype(jnp.float32)
+            xdbl = _proj(xseq, wxp[0], ((1,), (1,)))
+            dt_raw = _proj(xdbl[:, :r], wdt[0], ((1,), (1,)))
+            dt = jax.nn.softplus(dt_raw + bias[0])
+            A2 = A[0]  # (N, Dp)
+
+            dt4 = dt.reshape(S_, P, Dp)
+            du4 = (dt * xs32).reshape(S_, P, Dp)
+            B4 = xdbl[:, r : r + n].reshape(S_, P, n)
+            C4 = xdbl[:, r + n : r + 2 * n].reshape(S_, P, n)
+            if live is not None:
+                dt4 = dt4 * live
+                B4 = B4 * live
+
+            hA = hB = None
+            for p_ in range(P):  # level 1: sequential positions
+                av = jnp.exp(dt4[:, p_][:, None, :] * A2[None])
+                bv = B4[:, p_][:, :, None] * du4[:, p_][:, None, :]
+                if p_ == 0:
+                    hA, hB = av, bv
+                else:
+                    hA = av * hA
+                    hB = av * hB + bv
+                HA[:, p_] = hA
+                HB[:, p_] = hB
+
+            # level 2: chain subchunk carries. SEQ/HA/HB sit in ACTUAL
+            # subchunk order (the per-position gather only normalizes the
+            # local order), so the chain walks the subchunks reversed when
+            # the stripe is row-reversed — a static loop-order choice.
+            def emit_chain(rev: bool):
+                cc = h_carry[slot]
+                order = range(S_ - 1, -1, -1) if rev else range(S_)
+                for ss in order:
+                    CEs[ss] = cc
+                    cc = HA[ss, P - 1] * cc + HB[ss, P - 1]
+                h_carry[slot] = cc
+
+            pl.when(row_rev)(functools.partial(emit_chain, True))
+            pl.when(jnp.logical_not(row_rev))(
+                functools.partial(emit_chain, False)
+            )
+            CE = CEs[:]  # (S_, n, Dp), actual order
+
+            h_all = HA[:] * CE[:, None] + HB[:]
+            y = jnp.sum(h_all * C4[..., None], axis=2)
+            y = y + Dd[0, 0] * xs32.reshape(S_, P, Dp)
+            if live is not None:
+                y = y * live  # dead edge positions emit zeros
+
+            def emit_scatter(row_rev: bool, col_rev: bool):
+                for p_, (rr, c, _) in enumerate(
+                    _serpentine(P, SL, row_rev, col_rev)
+                ):
+                    YS[c, :, rr] = y[:, p_]
+
+            for rv in (False, True):
+                for cv in (False, True):
+                    pl.when(jnp.logical_and(row_rev == rv, is_rot == cv))(
+                        functools.partial(emit_scatter, rv, cv)
+                    )
+
+            y_nat = YS[:].reshape(SL, H, Dp)
+            oL[0, 0] = y_nat[:half].astype(out_dtype)
+            oR[0, 0] = y_nat[half:].astype(out_dtype)
+            ps = jnp.sum(y.reshape(chunk, Dp), axis=0, keepdims=True)
+            prev = jnp.where(t == 0, jnp.zeros_like(ps), pool[0, 0, 0:1])
+            pool[0, 0] = jnp.broadcast_to(prev + ps, (8, Dp))
+
+        # column directions (k = j): stripes of x, read via x^T blocks
+        scan_dir(xTL, xTR, wxp_c, wdt_c, A_c, D_c, bias_c, 0,
+                 oL01, oR01, pool01)
+        # row directions (k = 2 + j): stripes of x^T, read via x blocks
+        scan_dir(xL, xR, wxp_r, wdt_r, A_r, D_r, bias_r, 1,
+                 oL23, oR23, pool23)
+
+    return kernel
+
+
+def _block_maps(S: int, shift: bool):
+    """Index maps (block units of width half) for the L/R operand and
+    output views, as functions of (b, j, t). Column-block index layout:
+    2*S half-blocks across the image width."""
+    last = 2 * S - 1
+
+    if not shift:
+        def L_fwd(t):
+            return 2 * t
+
+        def R_fwd(t):
+            return 2 * t + 1
+
+        def L_rot(t):
+            return 2 * (S - 1 - t)
+
+        def R_rot(t):
+            return 2 * (S - 1 - t) + 1
+    else:
+        # t=0 lead (block 0 twice), t in [1, S-1] mid t-1, t=S tail
+        def L_fwd(t):
+            mid = 2 * t - 1
+            return jnp.where(t == 0, 0, jnp.where(t == S, last, mid))
+
+        def R_fwd(t):
+            mid = 2 * t
+            return jnp.where(t == 0, 0, jnp.where(t == S, last, mid))
+
+        # rot: lead reads the last block, mids mirror, tail reads block 0.
+        # Mid stripe t covers rot half-blocks [2t-1, 2t], i.e. g half-blocks
+        # [2S-1-2t, 2S-2t] (the kernel loads the g frame low-to-high and
+        # 180-rotates in VMEM).
+        def L_rot(t):
+            mid = last - 2 * t  # = 2S - 1 - 2t
+            return jnp.where(t == 0, last, jnp.where(t == S, 0, mid))
+
+        def R_rot(t):
+            mid = last - 2 * t + 1  # = 2S - 2t
+            return jnp.where(t == 0, last, jnp.where(t == S, 0, mid))
+
+    def Lmap(t, j):
+        return jnp.where(j == 0, L_fwd(t), L_rot(t))
+
+    def Rmap(t, j):
+        return jnp.where(j == 0, R_fwd(t), R_rot(t))
+
+    return Lmap, Rmap
+
+
+def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
+             scan_len, shift, serving, vert_p, interpret):
+    B, H, W, d = x.shape
+    assert H == W, "stripe kernel requires square patches"
+    SL = scan_len
+    half = SL // 2
+    S = W // SL
+    dp = (-d) % 128
+    Dp = d + dp
+    n = A.shape[-1]
+    r = x_proj_w.shape[1] - 2 * n
+    io_dtype = jnp.bfloat16 if serving else jnp.float32
+    out_dtype = io_dtype
+
+    xp = jnp.pad(x.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dp)))
+    xpT = jnp.transpose(xp, (0, 2, 1, 3))  # column dirs read row blocks of x^T
+    wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
+    wdt = jnp.pad(dt_w.astype(jnp.float32), ((0, 0), (0, dp), (0, 0)))
+    A_p = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, dp), (0, 0))).transpose(0, 2, 1)
+    D_p = jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
+    bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
+
+    chunk = H * SL
+    # rows-per-subchunk: even (so boustrophedon parity is static across
+    # subchunks), divides H, as close to vert_p // SL as possible
+    rp = max(2, (vert_p // SL) // 2 * 2)
+    while H % rp:
+        rp -= 2
+    P = rp * SL
+    S_ = chunk // P
+    T = S + 1 if shift else S
+    Lmap, Rmap = _block_maps(S, shift)
+
+    row_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, half, W, Dp), lambda b, j, t: (b, f(t, j), 0, 0)
+    )
+    wspec = lambda shape, koff: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda b, j, t, koff=koff: (j + koff, 0, 0)
+    )
+    out_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, 1, half, W, Dp), lambda b, j, t: (b, j, f(t, j), 0, 0)
+    )
+    pool_spec = pl.BlockSpec((1, 1, 8, Dp), lambda b, j, t: (b, j, 0, 0))
+
+    kernel = _make_kernel(H, SL, n, r, Dp, S, shift, serving, P, out_dtype)
+    oL01, oR01, oL23, oR23, pool01, pool23 = pl.pallas_call(
+        kernel,
+        grid=(B, 2, T),
+        in_specs=[
+            row_spec(Lmap), row_spec(Rmap),  # x^T blocks (column dirs)
+            row_spec(Lmap), row_spec(Rmap),  # x blocks (row dirs)
+            wspec((r + 2 * n, Dp), 0), wspec((Dp, r), 0),
+            wspec((n, Dp), 0), wspec((1, Dp), 0), wspec((1, Dp), 0),
+            wspec((r + 2 * n, Dp), 2), wspec((Dp, r), 2),
+            wspec((n, Dp), 2), wspec((1, Dp), 2), wspec((1, Dp), 2),
+        ],
+        out_specs=(
+            out_spec(Lmap), out_spec(Rmap),
+            out_spec(Lmap), out_spec(Rmap),
+            pool_spec, pool_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, W, H, Dp), out_dtype),  # x^T frame
+            jax.ShapeDtypeStruct((B, 2, W, H, Dp), out_dtype),  # x^T frame
+            jax.ShapeDtypeStruct((B, 2, H, W, Dp), out_dtype),
+            jax.ShapeDtypeStruct((B, 2, H, W, Dp), out_dtype),
+            jax.ShapeDtypeStruct((B, 2, 8, Dp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, 8, Dp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n, Dp), jnp.float32),  # carries (col, row)
+            pltpu.VMEM((S_, P, n, Dp), jnp.float32),
+            pltpu.VMEM((S_, P, n, Dp), jnp.float32),
+            pltpu.VMEM((SL, S_, rp, Dp), jnp.float32),  # y, natural layout
+            pltpu.VMEM((S_, P, Dp), io_dtype),  # x, local sequence order
+            pltpu.VMEM((S_, n, Dp), jnp.float32),  # level-2 carries
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xpT, xpT, xp, xp,
+        wxp, wdt, A_p, D_p, bias_p,
+        wxp, wdt, A_p, D_p, bias_p,
+    )
+    pooled = jnp.concatenate([pool01[:, :, 0], pool23[:, :, 0]], axis=1)
+    return (oL01[..., :d], oR01[..., :d], oL23[..., :d], oR23[..., :d],
+            pooled[..., :d])
+
+
+def _half_block_masks(W: int, shift: bool, scan_len: int):
+    """(from_L_fwd, from_L_rot) boolean vectors over the W axis: which
+    half-blocks of the final image carry valid data in the L buffer, per
+    direction class. Unshifted: even blocks from L, odd from R, both
+    classes. Shifted forward: odd blocks plus the lead (block 0) and tail
+    (last block) land in L. Shifted rotated: the 180-rotation flips each
+    stripe's halves, so odd mid blocks land in L but the lead/tail (which
+    load as duplicated half blocks and survive the rotation in the R
+    half) land in R."""
+    half = scan_len // 2
+    nb = W // half
+    blk = jnp.arange(W) // half
+    if not shift:
+        fwd = blk % 2 == 0
+        rot = fwd
+    else:
+        odd = blk % 2 == 1
+        edge = (blk == 0) | (blk == nb - 1)
+        fwd = odd | edge
+        rot = odd & ~edge
+    return fwd, rot
+
+
+def combine_halves(oL01, oR01, oL23, oR23, gates, shift: bool,
+                   scan_len: int):
+    """Gated 4-direction sum from the kernel's half-split outputs.
+    oL01/oR01 arrive in the x^T frame, oL23/oR23 in the x frame; the
+    half-parity select is elementwise and the x^T un-transpose is a
+    major-dims relayout XLA fuses into the weighted sum."""
+    B, _, H, W, d = oL23.shape
+    fwd, rot = _half_block_masks(W, shift, scan_len)
+    # valid half-blocks run along the first spatial axis of each buffer
+    sel = jnp.stack([fwd, rot])[None, :, :, None, None]  # (1, 2, X, 1, 1)
+
+    g = gates[:, :, None, None, :].astype(jnp.float32)  # (B, K, 1, 1, D)
+    y01T = jnp.where(sel, oL01.astype(jnp.float32), oR01.astype(jnp.float32))
+    y01 = jnp.transpose(y01T, (0, 1, 3, 2, 4))  # x^T -> x frame
+    y23 = jnp.where(sel, oL23.astype(jnp.float32), oR23.astype(jnp.float32))
+    return (y01[:, 0] * g[:, 0] + y01[:, 1] * g[:, 1]
+            + y23[:, 0] * g[:, 2] + y23[:, 1] * g[:, 3])
+
+
+def _reference(x, x_proj_w, dt_w, A, D, delta_bias, scan_len, shift):
+    """Index-array composition with identical semantics (backward pass +
+    oracle for tests). Returns (y (B, 4, H, W, d) final layout, pooled)."""
+    from tpuir.ops.scan_ids import mair_scan_ids
+    from tpuir.ops.selective_scan import selective_scan
+
+    B, H, W, d = x.shape
+    L = H * W
+    ids, inv = mair_scan_ids(H, W, scan_len, scan_len // 2 if shift else 0)
+    ids = jnp.asarray(ids)
+    inv = jnp.asarray(inv)
+    n = A.shape[-1]
+    r = x_proj_w.shape[1] - 2 * n
+    xf = x.reshape(B, L, d).astype(jnp.float32)
+    xs = jnp.take(xf, ids, axis=1)  # (B, 4, L, d)
+    xdbl = jnp.einsum("bkld,kcd->bklc", xs, x_proj_w,
+                      preferred_element_type=jnp.float32)
+    dts = jnp.einsum("bklr,kdr->bkld", xdbl[..., :r], dt_w,
+                     preferred_element_type=jnp.float32)
+    y = selective_scan(
+        xs, dts, A, xdbl[..., r : r + n], xdbl[..., r + n :], D, delta_bias,
+        delta_softplus=True, chunk=256,
+    )  # (B, 4, L, d) f32
+    pooled = jnp.sum(y, axis=2)
+    # inv maps every direction's sequence back to x-frame row-major ids
+    # (including the transposed directions — their ids are x-frame ids of
+    # the transposed traversal), so a plain (H, W) reshape is final layout.
+    yimg = jnp.take_along_axis(y, inv[None, :, :, None], axis=2)
+    return yimg.reshape(B, 4, H, W, d), pooled
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _stripe_vjp(x, x_proj_w, dt_w, A, D, delta_bias,
+                scan_len, shift, serving, vert_p, interpret):
+    return _forward(x, x_proj_w, dt_w, A, D, delta_bias,
+                    scan_len, shift, serving, vert_p, interpret)
+
+
+def _stripe_fwd(x, x_proj_w, dt_w, A, D, delta_bias,
+                scan_len, shift, serving, vert_p, interpret):
+    out = _forward(x, x_proj_w, dt_w, A, D, delta_bias,
+                   scan_len, shift, serving, vert_p, interpret)
+    return out, (x, x_proj_w, dt_w, A, D, delta_bias)
+
+
+def _stripe_bwd(scan_len, shift, serving, vert_p, interpret, res, g):
+    x, wxp, wdt, A, D, bias = res
+    goL01, goR01, goL23, goR23, gpool = [
+        t.astype(jnp.float32) for t in g
+    ]
+    W = x.shape[2]
+    fwd, rot = _half_block_masks(W, shift, scan_len)
+    sel = jnp.stack([fwd, rot])[None, :, :, None, None]
+    gy01 = jnp.transpose(jnp.where(sel, goL01, goR01), (0, 1, 3, 2, 4))
+    gy23 = jnp.where(sel, goL23, goR23)
+    gy = jnp.concatenate([gy01, gy23], axis=1)  # (B, 4, H, W, d)
+
+    def ref(x, wxp, wdt, A, D, bias):
+        return _reference(x, wxp, wdt, A, D, bias, scan_len, shift)
+
+    _, vjp = jax.vjp(ref, x, wxp, wdt, A, D, bias)
+    return vjp((gy, gpool))
+
+
+_stripe_vjp.defvjp(_stripe_fwd, _stripe_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scan_len", "shift", "serving", "vert_p", "interpret"),
+)
+def nss_scan_stripe(
+    x: jnp.ndarray,  # (B, H, W, D) post-dwconv activations, image layout
+    x_proj_w: jnp.ndarray,  # (K=4, R + 2N, D)
+    dt_w: jnp.ndarray,  # (K, D, R)
+    A: jnp.ndarray,  # (K, D, N) (already -exp(A_log))
+    D: jnp.ndarray,  # (K, D)
+    delta_bias: jnp.ndarray,  # (K, D)
+    scan_len: int = 4,
+    shift: bool = False,
+    serving: bool = False,
+    vert_p: int = 16,
+    interpret: bool = False,
+):
+    """Returns (oL01, oR01, oL23, oR23, pooled):
+      oL01/oR01 (B, 2, W, H, D) — direction 0/1 outputs in the x^T frame
+        (un-transposed by combine_halves), valid only on the half-blocks
+        assigned to each buffer;
+      oL23/oR23 (B, 2, H, W, D) — directions 2/3, final image layout,
+        same half-block convention over rows;
+      pooled (B, 4, D) f32 — per-direction channel sums (gate input).
+    """
+    B, H, W, d = x.shape
+    if scan_len % 4 != 0 or scan_len < 4:
+        raise ValueError(f"scan_len must be a positive multiple of 4; got {scan_len}")
+    if H != W:
+        raise ValueError(f"stripe kernel requires square input; got {H}x{W}")
+    if H % scan_len:
+        raise ValueError(f"H must be a multiple of scan_len; got {H}")
+    if H % 2:
+        raise ValueError(f"H must be even; got {H}")
+    if vert_p <= 0 or (vert_p & (vert_p - 1)) != 0:
+        raise ValueError(f"vert_p must be a power of two; got {vert_p}")
+    return _stripe_vjp(x, x_proj_w, dt_w, A, D, delta_bias,
+                       scan_len, shift, serving, vert_p, interpret)
