@@ -91,6 +91,30 @@ def test_stripe_grad_matches_oracle(shift):
 
 
 @pytest.mark.parametrize("shift", [False, True])
+def test_stripe_segmented_matches_oracle(monkeypatch, shift):
+    """Force G>1 row segments (the large-image VMEM-bounding path) and
+    check against the oracle."""
+    monkeypatch.setenv("TPUIR_STRIPE_SEG_BYTES", "1")
+    B, H, d, n, r, SL = 1, 16, 4, 2, 2, 4
+    x, wxp, wdt, A, D, bias = _rand_inputs(
+        jax.random.PRNGKey(7), B, H, H, d, n, r
+    )
+    y_ref, pool_ref = _reference(x, wxp, wdt, A, D, bias, SL, shift)
+    out = nss_scan_stripe(
+        x, wxp, wdt, A, D, bias, scan_len=SL, shift=shift,
+        serving=False, vert_p=8, interpret=True,
+    )
+    np.testing.assert_allclose(out[4], pool_ref, rtol=2e-5, atol=2e-5)
+    for k in range(4):
+        g = jnp.zeros((B, 4, d)).at[:, k].set(1.0)
+        y_k = combine_halves(*out[:4], g, shift, SL)
+        np.testing.assert_allclose(
+            y_k, y_ref[:, k], rtol=2e-5, atol=2e-5,
+            err_msg=f"segmented direction {k} shift={shift}",
+        )
+
+
+@pytest.mark.parametrize("shift", [False, True])
 def test_ssmixer_stripe_branch_matches_xla(monkeypatch, shift):
     """Drive SSMixer through the production stripe branch (interpret mode
     on CPU) and compare with the XLA gather path."""

@@ -80,8 +80,12 @@ def _serpentine(P: int, SL: int, row_rev: bool, col_rev: bool):
 
 
 def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
-                 shift: bool, serving: bool, P: int, out_dtype):
-    """Grid (B, 2, T) with T = S (+1 when shifted). Operands (in order):
+                 shift: bool, serving: bool, P: int, out_dtype,
+                 G: int = 1):
+    """Grid (B, 2, T, G) with T = S (+1 when shifted) stripes and G row
+    segments per stripe (G > 1 bounds VMEM for large images; the level-2
+    carry chains across segments, whose grid order follows the stripe's
+    row direction via the segment index maps). Operands (in order):
     xTL, xTR (row blocks of x^T — the column directions' stripes), xL, xR
     (row blocks of x — the row directions' stripes), then per-pair weights
     wxp/wdt/A/D/bias for the column direction and the row direction (10
@@ -94,7 +98,8 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
     one of four (row_rev, col_rev) variants selected by ``pl.when`` on
     grid indices. Mosaic needs no rev/transpose/gather anywhere."""
     half = SL // 2
-    chunk = H * SL
+    Hseg = H // G  # rows per segment
+    chunk = Hseg * SL
     RP = P // SL  # rows per subchunk (even)
     S_ = chunk // P  # number of subchunks (vectorized axis)
     m_mid = S - 1  # number of full stripes in the shifted variant
@@ -120,9 +125,11 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                h_carry, HA, HB, YS, SEQ, CEs):
         j = pl.program_id(1)
         t = pl.program_id(2)
+        g = pl.program_id(3)
         is_rot = j == 1
+        first = jnp.logical_and(t == 0, g == 0)
 
-        @pl.when(t == 0)
+        @pl.when(first)
         def _reset():
             h_carry[:] = jnp.zeros_like(h_carry)
 
@@ -243,11 +250,11 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                         functools.partial(emit_scatter, rv, cv)
                     )
 
-            y_nat = YS[:].reshape(SL, H, Dp)
+            y_nat = YS[:].reshape(SL, Hseg, Dp)
             oL[0, 0] = y_nat[:half].astype(out_dtype)
             oR[0, 0] = y_nat[half:].astype(out_dtype)
             ps = jnp.sum(y.reshape(chunk, Dp), axis=0, keepdims=True)
-            prev = jnp.where(t == 0, jnp.zeros_like(ps), pool[0, 0, 0:1])
+            prev = jnp.where(first, jnp.zeros_like(ps), pool[0, 0, 0:1])
             pool[0, 0] = jnp.broadcast_to(prev + ps, (8, Dp))
 
         # column directions (k = j): stripes of x, read via x^T blocks
@@ -331,32 +338,63 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
     D_p = jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
     bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
 
-    chunk = H * SL
     # rows-per-subchunk: even (so boustrophedon parity is static across
     # subchunks), divides H, as close to vert_p // SL as possible
     rp = max(2, (vert_p // SL) // 2 * 2)
     while H % rp:
         rp -= 2
     P = rp * SL
+    # segments per stripe: bound the scan working set (HA/HB scratch is
+    # chunk*n*Dp f32 each) so big images don't blow VMEM; segment rows
+    # stay a multiple of rp
+    import os as _os
+
+    seg_limit = int(
+        _os.environ.get("TPUIR_STRIPE_SEG_BYTES", 32 * 1024 * 1024)
+    )
+    G = 1
+    while (H // G) * SL * n * Dp * 8 > seg_limit and \
+            H % (G * 2) == 0 and (H // (G * 2)) % rp == 0:
+        G *= 2
+    Hseg = H // G
+    chunk = Hseg * SL
     S_ = chunk // P
     T = S + 1 if shift else S
     Lmap, Rmap = _block_maps(S, shift)
 
+    if shift:
+        def _vflip(t):
+            mids = (t - 1) % 2 == 0
+            return jnp.where(
+                t == 0, False, jnp.where(t == S, (S - 1) % 2 == 0, mids)
+            )
+    else:
+        def _vflip(t):
+            return t % 2 == 1
+
+    def segmap(t, j, g):
+        # row-reversed stripes consume their segments bottom-up so the
+        # level-2 carry keeps chaining in sequence order
+        rev = jnp.logical_xor(j == 1, _vflip(t))
+        return jnp.where(rev, G - 1 - g, g)
+
     row_spec = lambda f: pl.BlockSpec(  # noqa: E731
-        (1, half, W, Dp), lambda b, j, t: (b, f(t, j), 0, 0)
+        (1, half, Hseg, Dp), lambda b, j, t, g: (b, f(t, j), segmap(t, j, g), 0)
     )
     wspec = lambda shape, koff: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda b, j, t, koff=koff: (j + koff, 0, 0)
+        (1,) + shape, lambda b, j, t, g, koff=koff: (j + koff, 0, 0)
     )
     out_spec = lambda f: pl.BlockSpec(  # noqa: E731
-        (1, 1, half, W, Dp), lambda b, j, t: (b, j, f(t, j), 0, 0)
+        (1, 1, half, Hseg, Dp),
+        lambda b, j, t, g: (b, j, f(t, j), segmap(t, j, g), 0),
     )
-    pool_spec = pl.BlockSpec((1, 1, 8, Dp), lambda b, j, t: (b, j, 0, 0))
+    pool_spec = pl.BlockSpec((1, 1, 8, Dp), lambda b, j, t, g: (b, j, 0, 0))
 
-    kernel = _make_kernel(H, SL, n, r, Dp, S, shift, serving, P, out_dtype)
+    kernel = _make_kernel(H, SL, n, r, Dp, S, shift, serving, P, out_dtype,
+                          G=G)
     oL01, oR01, oL23, oR23, pool01, pool23 = pl.pallas_call(
         kernel,
-        grid=(B, 2, T),
+        grid=(B, 2, T, G),
         in_specs=[
             row_spec(Lmap), row_spec(Rmap),  # x^T blocks (column dirs)
             row_spec(Lmap), row_spec(Rmap),  # x blocks (row dirs)
