@@ -1,0 +1,345 @@
+"""DeblurGANv2 training stack parity: discriminators, GAN/content losses,
+ImagePool, and the VGG19 perceptual trunk — against the reference torch code
+(/root/reference/src/deblurganv2/models/{networks,losses}.py, run on CPU with
+.cuda() patched to identity)."""
+
+import functools
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests import oracle
+from tpuir.models.deblurgan import discriminators as jd
+from tpuir.train import deblurgan_losses as jl
+
+
+@pytest.fixture(scope="module")
+def ref_networks():
+    base = "/root/reference/src/deblurganv2"
+    oracle._ensure_pkg("deblurganv2", base)
+    oracle._ensure_pkg("deblurganv2.models", f"{base}/models")
+    # networks.py imports every generator at module top; the heavy ones pull
+    # timm/pretrainedmodels, so stub them with placeholder classes
+    for mod, cls in [
+        ("fpn_mobilenet", "FPNMobileNet"),
+        ("fpn_inception", "FPNInception"),
+        ("fpn_inception_simple", "FPNInceptionSimple"),
+        ("unet_seresnext", "UNetSEResNext"),
+        ("fpn_densenet", "FPNDense"),
+    ]:
+        name = f"deblurganv2.models.{mod}"
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            setattr(m, cls, type(cls, (), {}))
+            sys.modules[name] = m
+            setattr(sys.modules["deblurganv2.models"], mod, m)
+    return oracle._load_by_path(
+        "deblurganv2.models.networks", f"{base}/models/networks.py"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_losses(ref_networks, module_mocker=None):
+    base = "/root/reference/src/deblurganv2"
+    oracle._ensure_pkg("deblurganv2.util", f"{base}/util")
+    pool = oracle._load_by_path(
+        "deblurganv2.util.image_pool", f"{base}/util/image_pool.py"
+    )
+    sys.modules["deblurganv2.util"].image_pool = pool
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.transforms"] = tv.transforms
+    # the reference pins every loss tensor to CUDA; run it on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    return oracle._load_by_path(
+        "deblurganv2.models.losses", f"{base}/models/losses.py"
+    )
+
+
+def _inorm():
+    return functools.partial(
+        torch.nn.InstanceNorm2d, affine=False, track_running_stats=True
+    )
+
+
+@pytest.mark.parametrize("n_layers", [3, 5])
+def test_nlayer_discriminator_parity(ref_networks, n_layers):
+    oracle.seed_torch(n_layers)
+    ref = ref_networks.NLayerDiscriminator(
+        n_layers=n_layers, norm_layer=_inorm(), use_sigmoid=False
+    )
+    ref.train(True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = jd.NLayerDiscriminator(n_layers=n_layers, norm="instance")
+    params = jd.convert_nlayer(sd, n_layers=n_layers)
+    x = (np.random.RandomState(7).rand(2, 64, 64, 3).astype(np.float32) - 0.5) * 2
+    got = np.asarray(model.apply(params, x))
+    want = oracle.torch_forward(ref, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_nlayer_discriminator_batchnorm_parity(ref_networks):
+    oracle.seed_torch(11)
+    ref = ref_networks.NLayerDiscriminator(
+        n_layers=3, norm_layer=functools.partial(torch.nn.BatchNorm2d, affine=True)
+    )
+    ref.train(True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = jd.NLayerDiscriminator(n_layers=3, norm="batch")
+    params = jd.convert_nlayer(sd, n_layers=3, norm="batch")
+    x = (np.random.RandomState(8).rand(4, 48, 48, 3).astype(np.float32) - 0.5) * 2
+    got = np.asarray(model.apply(params, x))
+    want = oracle.torch_forward(ref, x)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_multiscale_discriminator_parity(ref_networks):
+    oracle.seed_torch(3)
+    ref = ref_networks.MultiScaleDiscriminator(norm_layer=_inorm())
+    ref.train(True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    model = jd.MultiScaleDiscriminator(norm="instance")
+    params = jd.convert_multiscale(sd)
+    x = (np.random.RandomState(9).rand(1, 64, 64, 3).astype(np.float32) - 0.5) * 2
+    got = model.apply(params, x)
+    xt = torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+    with torch.no_grad():
+        want = ref(xt)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), w.numpy().transpose(0, 2, 3, 1), atol=3e-4, rtol=1e-3
+        )
+
+
+def test_get_discriminator_factory():
+    cfg = {"d_name": "double_gan", "d_layers": 3, "norm_layer": "instance"}
+    d = jd.get_discriminator(cfg)
+    assert set(d) == {"patch", "full"}
+    assert jd.get_discriminator({"d_name": "no_gan"}) == {}
+    assert set(jd.get_discriminator(
+        {"d_name": "multi_scale", "norm_layer": "instance"})) == {"multi_scale"}
+    with pytest.raises(ValueError):
+        jd.get_discriminator({"d_name": "bogus"})
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+
+class _TorchToyD(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(3, 1, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+def _toy_pair():
+    oracle.seed_torch(0)
+    tnet = _TorchToyD()
+    w = tnet.conv.weight.detach().numpy()
+    b = tnet.conv.bias.detach().numpy()
+
+    def d_apply(params, x):  # NHWC
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w.transpose(2, 3, 1, 0)), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jnp.asarray(b)
+
+    rng = np.random.RandomState(1)
+    fake = rng.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1
+    real = rng.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1
+    tf = torch.from_numpy(np.ascontiguousarray(fake.transpose(0, 3, 1, 2)))
+    tr = torch.from_numpy(np.ascontiguousarray(real.transpose(0, 3, 1, 2)))
+    return tnet, d_apply, jnp.asarray(fake), jnp.asarray(real), tf, tr
+
+
+@pytest.mark.parametrize("name,jcls", [
+    ("gan", jl.DiscLoss), ("lsgan", jl.DiscLossLS),
+])
+def test_disc_loss_parity(ref_losses, name, jcls):
+    tnet, d_apply, fake, real, tf, tr = _toy_pair()
+    ref = {"gan": ref_losses.DiscLoss, "lsgan": ref_losses.DiscLossLS}[name]()
+    ours = jcls()
+    want_d = ref.get_loss(tnet, tf, tr).item()
+    got_d = float(ours.get_loss(d_apply, None, fake, real))
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-6)
+    # reference DiscLossLS.get_g_loss has a dormant arg bug (losses.py:226-227
+    # forwards only fakeB); call the base implementation it delegates to
+    want_g = ref_losses.DiscLoss.get_g_loss(ref, tnet, tf, tr).item()
+    got_g = float(ours.get_g_loss(d_apply, None, fake, real))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
+
+def test_wgan_gp_parity(ref_losses, monkeypatch):
+    tnet, d_apply, fake, real, tf, tr = _toy_pair()
+    ref = ref_losses.DiscLossWGANGP()
+    ours = jl.DiscLossWGANGP()
+    # pin the shared interpolation coefficient on both sides
+    monkeypatch.setattr(torch, "rand", lambda *s: torch.full(s, 0.37))
+    want = ref.get_loss(tnet, tf, tr).item()
+    wass = jnp.mean(d_apply(None, fake)) - jnp.mean(d_apply(None, real))
+    gp = ours.calc_gradient_penalty(d_apply, None, real, fake, None, alpha=0.37)
+    got = float(wass + gp)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    want_g = ref.get_g_loss(tnet, tf, tr).item()
+    got_g = float(ours.get_g_loss(d_apply, None, fake, real))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,jcls", [
+    ("ragan", jl.RelativisticDiscLoss),
+    ("ragan-ls", jl.RelativisticDiscLossLS),
+])
+def test_relativistic_loss_parity(ref_losses, name, jcls):
+    tnet, d_apply, fake, real, tf, tr = _toy_pair()
+    ref = {"ragan": ref_losses.RelativisticDiscLoss,
+           "ragan-ls": ref_losses.RelativisticDiscLossLS}[name]()
+    ours = jcls()
+    for step in range(3):  # pools accumulate across steps
+        want = ref.get_loss(tnet, tf, tr).item()
+        got = float(ours.get_loss(d_apply, None, fake, real))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"step {step}")
+    want_g = ref.get_g_loss(tnet, tf, tr).item()
+    got_g = float(ours.get_g_loss(d_apply, None, fake, real))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
+
+
+def test_image_pool_semantics():
+    pool = jl.ImagePool(3)
+    pool.add(np.ones((2, 1, 1, 1), np.float32))
+    pool.add(np.full((2, 1, 1, 1), 2.0, np.float32))
+    q = pool.query()
+    assert q.shape[0] == 3  # oldest evicted
+    assert q.mean() == pytest.approx((1 + 2 + 2) / 3)
+
+
+def _torch_vgg_slice():
+    """torchvision vgg19().features[:15] rebuilt layer by layer (torchvision
+    is not installed; the architecture is the published VGG-19 prefix)."""
+    cfg = [(3, 64), (64, 64), "M", (64, 128), (128, 128), "M",
+           (128, 256), (256, 256), (256, 256)]
+    layers = []
+    for i, c in enumerate(cfg):
+        if c == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(c[0], c[1], 3, padding=1))
+            layers.append(torch.nn.ReLU(inplace=False))
+    seq = torch.nn.Sequential(*layers[:-1])  # stop at conv3_3, no ReLU
+    return seq
+
+
+def test_vgg19_trunk_and_perceptual_loss(ref_losses):
+    from tpuir.train.vgg_features import VGG19Conv33, convert_vgg19_features
+
+    oracle.seed_torch(5)
+    tseq = _torch_vgg_slice()
+    tseq.eval()
+    # name the convs by their torchvision features index
+    conv_idx = [0, 2, 5, 7, 10, 12, 14]
+    sd = {}
+    ci = 0
+    for m in tseq:
+        if isinstance(m, torch.nn.Conv2d):
+            sd[f"features.{conv_idx[ci]}.weight"] = m.weight.detach().numpy()
+            sd[f"features.{conv_idx[ci]}.bias"] = m.bias.detach().numpy()
+            ci += 1
+    params = convert_vgg19_features(sd)
+
+    x = np.random.RandomState(3).rand(1, 32, 32, 3).astype(np.float32)
+    got = np.asarray(VGG19Conv33().apply(params, x))
+    want = oracle.torch_forward(tseq, x)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+    # full PerceptualLoss vs the reference object (contentFunc swapped in)
+    ref_pl = ref_losses.PerceptualLoss()
+    ref_pl.criterion = torch.nn.MSELoss()
+    ref_pl.contentFunc = tseq
+
+    class _Norm:
+        def __call__(self, t):
+            mean = torch.tensor([0.485, 0.456, 0.406]).view(3, 1, 1)
+            std = torch.tensor([0.229, 0.224, 0.225]).view(3, 1, 1)
+            return (t - mean) / std
+
+    ref_pl.transform = _Norm()
+
+    rng = np.random.RandomState(4)
+    fake = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    real = rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    tf = torch.from_numpy(np.ascontiguousarray(fake.transpose(0, 3, 1, 2)))
+    tr = torch.from_numpy(np.ascontiguousarray(real.transpose(0, 3, 1, 2)))
+    want = ref_pl.get_loss(tf, tr).item()
+    ours = jl.PerceptualLoss(params)
+    got = float(ours(jnp.asarray(fake), jnp.asarray(real)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_get_loss_factory():
+    content, disc = jl.get_loss({"content_loss": "l1", "disc_loss": "lsgan"})
+    assert isinstance(content, jl.ContentLoss)
+    assert isinstance(disc, jl.DiscLossLS)
+    with pytest.raises(ValueError):
+        jl.get_loss({"content_loss": "perceptual", "disc_loss": "gan"})
+    with pytest.raises(ValueError):
+        jl.get_loss({"content_loss": "l1", "disc_loss": "nope"})
+
+
+# ---------------------------------------------------------------------------
+# augmentations
+# ---------------------------------------------------------------------------
+
+
+def test_paired_transforms_consistency():
+    from tpuir.train import deblurgan_aug as ja
+
+    rng0 = np.random.RandomState(0)
+    img = (rng0.rand(70, 90, 3) * 255).astype(np.uint8)
+    tgt = img.copy()
+    proc = ja.get_transforms(64, scope="geometric", crop="random")
+    for seed in range(6):
+        a, b = proc(img, tgt, np.random.RandomState(seed))
+        assert a.shape == (64, 64, 3)
+        np.testing.assert_array_equal(a, b)  # paired = identical transforms
+
+    norm = ja.get_normalize()
+    na, nb = norm(a, b)
+    assert na.dtype == np.float32 and na.min() >= -1.0 and na.max() <= 1.0
+
+
+def test_corrupt_function_config():
+    from tpuir.train import deblurgan_aug as ja
+
+    cfg = [
+        {"name": "cutout", "prob": 0.5, "num_holes": 3, "max_h_size": 25,
+         "max_w_size": 25},
+        {"name": "jpeg", "quality_lower": 70, "quality_upper": 90},
+        {"name": "motion_blur"}, {"name": "median_blur"}, {"name": "gamma"},
+        {"name": "rgb_shift"}, {"name": "hsv_shift"}, {"name": "sharpen"},
+    ]  # the released config's corrupt list (config/config.yaml:17-30)
+    fn = ja.get_corrupt_function(cfg)
+    img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+    for seed in range(10):
+        out = fn(img, np.random.RandomState(seed))
+        assert out.shape == img.shape and out.dtype == np.uint8
+    with pytest.raises(KeyError):
+        ja.get_corrupt_function([{"name": "nope"}])
