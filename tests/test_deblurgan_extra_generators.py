@@ -61,6 +61,83 @@ def load_reference_fpn_inception_simple():
     )
 
 
+def load_reference_unet_seresnext():
+    import types
+
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    base = "/root/reference/src/deblurganv2"
+    oracle._ensure_pkg("deblurganv2", base)
+    oracle._ensure_pkg("deblurganv2.models", f"{base}/models")
+    senet = oracle._load_by_path(
+        "deblurganv2.models.senet", f"{base}/models/senet.py"
+    )
+    sys.modules["deblurganv2.models"].senet = senet
+    sys.modules.pop("deblurganv2.models.unet_seresnext", None)
+    return oracle._load_by_path(
+        "deblurganv2.models.unet_seresnext", f"{base}/models/unet_seresnext.py"
+    )
+
+
+def test_unet_seresnext_parity():
+    from tpuir.models.deblurgan.unet_seresnext import (
+        UNetSEResNext,
+        convert_state_dict,
+    )
+
+    mod = load_reference_unet_seresnext()
+    oracle.seed_torch(1)
+    ref = mod.UNetSEResNext(pretrained=False, is_deconv=True)
+    ref.train(True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = UNetSEResNext()
+    params = convert_state_dict(sd)
+    x = (np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32) - 0.5) * 2
+    got = np.asarray(model.apply(params, x))
+    want = oracle.torch_forward(ref, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def load_reference_fpn_densenet():
+    import types
+
+    import tests.densenet_torch as dnt
+
+    tvm = types.ModuleType("torchvision.models")
+    tvm.densenet121 = dnt.densenet121
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+    base = "/root/reference/src/deblurganv2"
+    oracle._ensure_pkg("deblurganv2", base)
+    oracle._ensure_pkg("deblurganv2.models", f"{base}/models")
+    sys.modules.pop("deblurganv2.models.fpn_densenet", None)
+    return oracle._load_by_path(
+        "deblurganv2.models.fpn_densenet", f"{base}/models/fpn_densenet.py"
+    )
+
+
+def test_fpn_densenet_parity():
+    from tpuir.models.deblurgan.fpn_densenet import FPNDense, convert_state_dict
+
+    mod = load_reference_fpn_densenet()
+    oracle.seed_torch(2)
+    ref = mod.FPNDense(pretrained=False)
+    ref.train(True)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = FPNDense()
+    params = convert_state_dict(sd)
+    x = (np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32) - 0.5) * 2
+    got = np.asarray(model.apply(params, x))
+    want = oracle.torch_forward(ref, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 def test_fpn_inception_simple_parity():
     from tpuir.models.deblurgan.fpn_inception_simple import (
         FPNInceptionSimple,
