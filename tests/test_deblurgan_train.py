@@ -27,6 +27,7 @@ def ref_networks():
     oracle._ensure_pkg("deblurganv2.models", f"{base}/models")
     # networks.py imports every generator at module top; the heavy ones pull
     # timm/pretrainedmodels, so stub them with placeholder classes
+    stubbed = []
     for mod, cls in [
         ("fpn_mobilenet", "FPNMobileNet"),
         ("fpn_inception", "FPNInception"),
@@ -40,9 +41,17 @@ def ref_networks():
             setattr(m, cls, type(cls, (), {}))
             sys.modules[name] = m
             setattr(sys.modules["deblurganv2.models"], mod, m)
-    return oracle._load_by_path(
+            stubbed.append((name, mod))
+    net = oracle._load_by_path(
         "deblurganv2.models.networks", f"{base}/models/networks.py"
     )
+    # evict the stubs so other test modules load the real references;
+    # networks.py keeps its own attribute references to the stub classes
+    for name, mod in stubbed:
+        sys.modules.pop(name, None)
+        if hasattr(sys.modules["deblurganv2.models"], mod):
+            delattr(sys.modules["deblurganv2.models"], mod)
+    return net
 
 
 @pytest.fixture(scope="module")
@@ -53,13 +62,13 @@ def ref_losses(ref_networks, module_mocker=None):
         "deblurganv2.util.image_pool", f"{base}/util/image_pool.py"
     )
     sys.modules["deblurganv2.util"].image_pool = pool
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.models = types.ModuleType("torchvision.models")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv.models
-        sys.modules["torchvision.transforms"] = tv.transforms
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    sys.modules["torchvision"] = tv
+    for sub in ("models", "transforms"):
+        name = f"torchvision.{sub}"
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+        setattr(tv, sub, sys.modules[name])
     # the reference pins every loss tensor to CUDA; run it on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
     return oracle._load_by_path(
