@@ -278,7 +278,12 @@ class SSMixer(nn.Module):
                 y = jnp.sum(y, axis=1)  # (B, L, D)
 
         y = TorchLayerNorm(d_inner, name="out_norm")(y.astype(jnp.float32))
-        y = y * nn.silu(z.reshape(B, L, d_inner))
+        # Serving mode: the gate product and out_proj input ride bf16 (the
+        # matmul casts to bf16 anyway; this halves the elementwise stream's
+        # HBM traffic). LN statistics above stay float32.
+        y = y.astype(io_dtype) * nn.silu(
+            z.reshape(B, L, d_inner).astype(io_dtype)
+        )
         y = nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
         return y.reshape(B, H, W, self.d_model).astype(x.dtype)
 

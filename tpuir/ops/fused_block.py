@@ -68,10 +68,18 @@ def _gelu_sigmoid(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _ln(x, w, b, subtract_mean: bool):
+def _ln(x, w, b, subtract_mean: bool, one_pass: bool = False):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    if one_pass:
+        # serving mode: var = E[x^2] - mu^2 saves a full (x - mu) pass;
+        # catastrophic cancellation is bounded because LN inputs are O(1)
+        # activations, and the result feeds bf16 matmuls anyway
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+    else:
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
     base = (x32 - mu) if subtract_mean else x32
     return base * jax.lax.rsqrt(var + 1e-5) * w + b
 
@@ -141,7 +149,7 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
 
     def _lnrm(x, w, b):
         if pack == 1:
-            return _ln(x, w, b, ln_bias)
+            return _ln(x, w, b, ln_bias, one_pass=mm_bf16)
         return _ln_packed(x, w, b, ln_bias, pack, C)
 
     if mm_bf16:
