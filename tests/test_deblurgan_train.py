@@ -232,6 +232,37 @@ def test_relativistic_loss_parity(ref_losses, name, jcls):
     np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("jcls", [jl.RelativisticDiscLoss,
+                                  jl.RelativisticDiscLossLS])
+def test_relativistic_loss_jittable_with_explicit_means(jcls):
+    """With host-computed pool means passed in, ragan/ragan-ls get_loss and
+    get_g_loss are jit- and grad-safe (the in-step pool update is skipped);
+    the jitted value matches the eager path at the same pool state."""
+    _, d_apply, fake, real, _, _ = _toy_pair()
+    # jit protocol: update pools host-side BEFORE the step, pass the means in
+    ours = jcls()
+    ours.update_pools(d_apply, None, fake, real)
+    fm, rm = ours.pool_means()
+
+    @jax.jit
+    def d_step(fake, real):
+        return ours.get_loss(d_apply, None, fake, real,
+                             fake_mean=fm, real_mean=rm)
+
+    got = float(d_step(fake, real))
+    # eager reference path: in-step pool update, then loss from the new means
+    # — identical pool state, so identical loss
+    want = float(jcls().get_loss(d_apply, None, fake, real))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def g_loss(x):
+        return ours.get_g_loss(d_apply, None, x, real,
+                               fake_mean=fm, real_mean=rm)
+
+    g = jax.jit(jax.grad(g_loss))(fake)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_image_pool_semantics():
     pool = jl.ImagePool(3)
     pool.add(np.ones((2, 1, 1, 1), np.float32))

@@ -179,7 +179,7 @@ class InferenceModel:
         for sz in sizes:
             pending.append((sz, step(self.params, jnp.asarray(patches[off : off + sz]))))
             off += sz
-            if len(pending) > max_in_flight:
+            while len(pending) >= max_in_flight:
                 fetch_one()
         while pending:
             fetch_one()

@@ -178,11 +178,19 @@ class SSMixer(nn.Module):
             # parity select into the gated 4-direction sum).
             from tpuir.ops.nss_stripe import combine_halves, nss_scan_stripe
 
+            # TPUIR_RECUR_BF16=1: accuracy-gated bf16 level-1 recurrence in
+            # the stripe kernel (serving mode only; validated by
+            # scripts/validate_serving.py before being made a default)
+            _recur_bf16 = (
+                io_dtype == jnp.bfloat16
+                and _os.environ.get("TPUIR_RECUR_BF16") == "1"
+            )
             oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
                 x_, x_proj_w, dt_w,
                 -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
                 scan_len=self.scan_len, shift=shift,
                 serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+                recur_bf16=_recur_bf16,
             )
             gates = jax.nn.sigmoid(
                 jnp.einsum("bid,doi->bod", pooled / L, gw,

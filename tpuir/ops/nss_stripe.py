@@ -50,6 +50,7 @@ revisited accumulator blocks, so the gate needs no inverse permutation
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,7 @@ def _serpentine(P: int, SL: int, row_rev: bool, col_rev: bool):
 
 def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                  shift: bool, serving: bool, P: int, out_dtype,
-                 G: int = 1):
+                 G: int = 1, recur_bf16: bool = False):
     """Grid (B, 2, T, G) with T = S (+1 when shifted) stripes and G row
     segments per stripe (G > 1 bounds VMEM for large images; the level-2
     carry chains across segments, whose grid order follows the stripe's
@@ -192,7 +193,8 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             xdbl = _proj(xseq, wxp[0], ((1,), (1,)))
             dt_raw = _proj(xdbl[:, :r], wdt[0], ((1,), (1,)))
             dt = jax.nn.softplus(dt_raw + bias[0])
-            A2 = A[0]  # (N, Dp)
+            # (N, Dp) — pre-scaled by log2(e); exp2(dt*A2) == exp(dt*A)
+            A2 = A[0].astype(jnp.bfloat16) if recur_bf16 else A[0]
 
             dt4 = dt.reshape(S_, P, Dp)
             du4 = (dt * xs32).reshape(S_, P, Dp)
@@ -201,10 +203,20 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             if live is not None:
                 dt4 = dt4 * live
                 B4 = B4 * live
+            if recur_bf16:
+                # accuracy-gated serving variant: the level-1 recurrence
+                # rides bf16 (exponent range = f32, so no under/overflow in
+                # the hA decay products; ~0.4%/step mantissa noise is below
+                # the bf16 matmul noise the serving mode already carries).
+                # The level-2 carry chain stays float32.
+                du4 = du4.astype(jnp.bfloat16)
+                B4 = B4.astype(jnp.bfloat16)
+                C4 = C4.astype(jnp.bfloat16)
+                dt4 = dt4.astype(jnp.bfloat16)
 
             hA = hB = None
             for p_ in range(P):  # level 1: sequential positions
-                av = jnp.exp(dt4[:, p_][:, None, :] * A2[None])
+                av = jnp.exp2(dt4[:, p_][:, None, :] * A2[None])
                 bv = B4[:, p_][:, :, None] * du4[:, p_][:, None, :]
                 if p_ == 0:
                     hA, hB = av, bv
@@ -231,9 +243,11 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                 functools.partial(emit_chain, False)
             )
             CE = CEs[:]  # (S_, n, Dp), actual order
+            if recur_bf16:
+                CE = CE.astype(jnp.bfloat16)
 
             h_all = HA[:] * CE[:, None] + HB[:]
-            y = jnp.sum(h_all * C4[..., None], axis=2)
+            y = jnp.sum(h_all * C4[..., None], axis=2).astype(jnp.float32)
             y = y + Dd[0, 0] * xs32.reshape(S_, P, Dp)
             if live is not None:
                 y = y * live  # dead edge positions emit zeros
@@ -317,7 +331,8 @@ def _block_maps(S: int, shift: bool):
 
 
 def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
-             scan_len, shift, serving, vert_p, interpret):
+             scan_len, shift, serving, vert_p, interpret,
+             recur_bf16=False):
     B, H, W, d = x.shape
     assert H == W, "stripe kernel requires square patches"
     SL = scan_len
@@ -334,7 +349,11 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
     xpT = jnp.transpose(xp, (0, 2, 1, 3))  # column dirs read row blocks of x^T
     wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
     wdt = jnp.pad(dt_w.astype(jnp.float32), ((0, 0), (0, dp), (0, 0)))
-    A_p = jnp.pad(A.astype(jnp.float32), ((0, 0), (0, dp), (0, 0))).transpose(0, 2, 1)
+    # fold log2(e) into A so the kernel's decay is one exp2, not exp
+    # (exp(dt*A) == exp2(dt*(A*log2e)) exactly up to 1 ulp of the scaling)
+    A_p = jnp.pad(
+        A.astype(jnp.float32) * math.log2(math.e), ((0, 0), (0, dp), (0, 0))
+    ).transpose(0, 2, 1)
     D_p = jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
     bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
 
@@ -390,8 +409,9 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
     )
     pool_spec = pl.BlockSpec((1, 1, 8, Dp), lambda b, j, t, g: (b, j, 0, 0))
 
+    recur_dtype = jnp.bfloat16 if recur_bf16 else jnp.float32
     kernel = _make_kernel(H, SL, n, r, Dp, S, shift, serving, P, out_dtype,
-                          G=G)
+                          G=G, recur_bf16=recur_bf16)
     oL01, oR01, oL23, oR23, pool01, pool23 = pl.pallas_call(
         kernel,
         grid=(B, 2, T, G),
@@ -418,8 +438,8 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, n, Dp), jnp.float32),  # carries (col, row)
-            pltpu.VMEM((S_, P, n, Dp), jnp.float32),
-            pltpu.VMEM((S_, P, n, Dp), jnp.float32),
+            pltpu.VMEM((S_, P, n, Dp), recur_dtype),
+            pltpu.VMEM((S_, P, n, Dp), recur_dtype),
             pltpu.VMEM((SL, S_, rp, Dp), jnp.float32),  # y, natural layout
             pltpu.VMEM((S_, P, Dp), io_dtype),  # x, local sequence order
             pltpu.VMEM((S_, n, Dp), jnp.float32),  # level-2 carries
@@ -511,21 +531,22 @@ def _reference(x, x_proj_w, dt_w, A, D, delta_bias, scan_len, shift):
     return yimg.reshape(B, 4, H, W, d), pooled
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _stripe_vjp(x, x_proj_w, dt_w, A, D, delta_bias,
-                scan_len, shift, serving, vert_p, interpret):
+                scan_len, shift, serving, vert_p, interpret, recur_bf16):
     return _forward(x, x_proj_w, dt_w, A, D, delta_bias,
-                    scan_len, shift, serving, vert_p, interpret)
+                    scan_len, shift, serving, vert_p, interpret, recur_bf16)
 
 
 def _stripe_fwd(x, x_proj_w, dt_w, A, D, delta_bias,
-                scan_len, shift, serving, vert_p, interpret):
+                scan_len, shift, serving, vert_p, interpret, recur_bf16):
     out = _forward(x, x_proj_w, dt_w, A, D, delta_bias,
-                   scan_len, shift, serving, vert_p, interpret)
+                   scan_len, shift, serving, vert_p, interpret, recur_bf16)
     return out, (x, x_proj_w, dt_w, A, D, delta_bias)
 
 
-def _stripe_bwd(scan_len, shift, serving, vert_p, interpret, res, g):
+def _stripe_bwd(scan_len, shift, serving, vert_p, interpret, recur_bf16,
+                res, g):
     x, wxp, wdt, A, D, bias = res
     goL01, goR01, goL23, goR23, gpool = [
         t.astype(jnp.float32) for t in g
@@ -549,7 +570,9 @@ _stripe_vjp.defvjp(_stripe_fwd, _stripe_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scan_len", "shift", "serving", "vert_p", "interpret"),
+    static_argnames=(
+        "scan_len", "shift", "serving", "vert_p", "interpret", "recur_bf16",
+    ),
 )
 def nss_scan_stripe(
     x: jnp.ndarray,  # (B, H, W, D) post-dwconv activations, image layout
@@ -563,6 +586,7 @@ def nss_scan_stripe(
     serving: bool = False,
     vert_p: int = 16,
     interpret: bool = False,
+    recur_bf16: bool = False,
 ):
     """Returns (oL01, oR01, oL23, oR23, pooled):
       oL01/oR01 (B, 2, W, H, D) — direction 0/1 outputs in the x^T frame
@@ -571,6 +595,11 @@ def nss_scan_stripe(
       oL23/oR23 (B, 2, H, W, D) — directions 2/3, final image layout,
         same half-block convention over rows;
       pooled (B, 4, D) f32 — per-direction channel sums (gate input).
+
+    ``recur_bf16`` runs the level-1 recurrence (decay/input products and
+    the in-subchunk h chain) in bfloat16 — an accuracy-gated serving
+    option; the level-2 carry chain and the projections stay float32.
+    The backward pass always uses the float32 reference composition.
     """
     B, H, W, d = x.shape
     if scan_len % 4 != 0 or scan_len < 4:
@@ -584,4 +613,5 @@ def nss_scan_stripe(
     if vert_p <= 0 or (vert_p & (vert_p - 1)) != 0:
         raise ValueError(f"vert_p must be a power of two; got {vert_p}")
     return _stripe_vjp(x, x_proj_w, dt_w, A, D, delta_bias,
-                       scan_len, shift, serving, vert_p, interpret)
+                       scan_len, shift, serving, vert_p, interpret,
+                       recur_bf16)

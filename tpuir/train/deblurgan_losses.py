@@ -5,7 +5,11 @@ util/image_pool.py. Discriminators are passed as ``(apply_fn, params)``
 pairs; every ``get_loss``/``get_g_loss`` returns a scalar float32 jnp value
 (differentiable — wrap in jax.grad against the relevant params). The
 relativistic variants keep their prediction pools on the host (numpy),
-exactly like the reference's torch ImagePool of detached predictions.
+exactly like the reference's torch ImagePool of detached predictions —
+so to jit a ragan/ragan-ls step, pass the host-computed pool means in as
+``fake_mean``/``real_mean`` and call ``update_pools`` after the step (see
+the RelativisticDiscLoss docstring); without explicit means those two
+losses are eager-only.
 
 Config surface mirrors ``get_loss(model)`` (losses.py:279-300):
 content_loss in {'perceptual', 'l1'}, disc_loss in
@@ -177,8 +181,17 @@ class DiscLossWGANGP(DiscLossLS):
 
 class RelativisticDiscLoss:
     """RaGAN (losses.py:132-173): predictions are centered on the running
-    mean of the opposite pool. Call ``update_pools`` (host-side, outside
-    jit) after each step, mirroring the reference's in-step pool adds."""
+    mean of the opposite pool.
+
+    The pools are host-side numpy state (exactly like the reference's
+    torch ImagePool of detached predictions), so the default
+    ``get_loss``/``get_g_loss`` path — which reads AND updates them — is
+    **eager-only**: calling it under ``jax.jit``/``jax.grad`` would
+    np.asarray a tracer. To use these losses inside a jitted train step,
+    compute the pool means host-side first and pass them in explicitly
+    (``fake_mean=…, real_mean=…``) — that skips the in-step pool update;
+    call ``update_pools`` yourself after the step.
+    """
 
     use_l1 = False
 
@@ -186,60 +199,76 @@ class RelativisticDiscLoss:
         self.fake_pool = ImagePool(pool_size)
         self.real_pool = ImagePool(pool_size)
 
-    def _pool_means(self):
+    def pool_means(self):
+        """Host-side (fake_mean, real_mean) — compute OUTSIDE jit and pass
+        into get_loss/get_g_loss when the step is jitted."""
         f = self.fake_pool.query()
         r = self.real_pool.query()
         fm = jnp.float32(f.mean()) if f.size else jnp.float32(0.0)
         rm = jnp.float32(r.mean()) if r.size else jnp.float32(0.0)
         return fm, rm
 
+    _pool_means = pool_means  # original (private) name, kept for callers
+
     def update_pools(self, d_apply, d_params, fakeB, realB):
         self.fake_pool.add(d_apply(d_params, jax.lax.stop_gradient(fakeB)))
         self.real_pool.add(d_apply(d_params, realB))
 
-    def get_g_loss(self, d_apply, d_params, fakeB, realB):
+    def get_g_loss(self, d_apply, d_params, fakeB, realB,
+                   fake_mean=None, real_mean=None):
         pred_fake = d_apply(d_params, fakeB)
         pred_real = d_apply(d_params, realB)
-        fake_mean, real_mean = self._pool_means()
+        if fake_mean is None or real_mean is None:
+            fake_mean, real_mean = self.pool_means()
         return (
             _gan_criterion(pred_real - fake_mean, 0.0, self.use_l1)
             + _gan_criterion(pred_fake - real_mean, 1.0, self.use_l1)
         ) / 2.0
 
-    def get_loss(self, d_apply, d_params, fakeB, realB):
+    def get_loss(self, d_apply, d_params, fakeB, realB,
+                 fake_mean=None, real_mean=None):
         fakeB = jax.lax.stop_gradient(fakeB)
-        self.update_pools(d_apply, d_params, fakeB, realB)
+        explicit = fake_mean is not None and real_mean is not None
+        if not explicit:
+            self.update_pools(d_apply, d_params, fakeB, realB)
         pred_fake = d_apply(d_params, fakeB)
         pred_real = d_apply(d_params, realB)
-        fake_mean, real_mean = self._pool_means()
+        if not explicit:
+            fake_mean, real_mean = self.pool_means()
         return (
             _gan_criterion(pred_real - fake_mean, 1.0, self.use_l1)
             + _gan_criterion(pred_fake - real_mean, 0.0, self.use_l1)
         ) / 2.0
 
-    def __call__(self, d_apply, d_params, fakeB, realB):
-        return self.get_loss(d_apply, d_params, fakeB, realB)
+    def __call__(self, d_apply, d_params, fakeB, realB, **kw):
+        return self.get_loss(d_apply, d_params, fakeB, realB, **kw)
 
 
 class RelativisticDiscLossLS(RelativisticDiscLoss):
     """RaLSGAN (losses.py:175-215): squared distance to ±1 around the
-    opposite pool's mean."""
+    opposite pool's mean. Same jit contract as RelativisticDiscLoss."""
 
-    def get_g_loss(self, d_apply, d_params, fakeB, realB):
+    def get_g_loss(self, d_apply, d_params, fakeB, realB,
+                   fake_mean=None, real_mean=None):
         pred_fake = d_apply(d_params, fakeB)
         pred_real = d_apply(d_params, realB)
-        fake_mean, real_mean = self._pool_means()
+        if fake_mean is None or real_mean is None:
+            fake_mean, real_mean = self.pool_means()
         return (
             jnp.mean((pred_real - fake_mean + 1.0) ** 2)
             + jnp.mean((pred_fake - real_mean - 1.0) ** 2)
         ) / 2.0
 
-    def get_loss(self, d_apply, d_params, fakeB, realB):
+    def get_loss(self, d_apply, d_params, fakeB, realB,
+                 fake_mean=None, real_mean=None):
         fakeB = jax.lax.stop_gradient(fakeB)
-        self.update_pools(d_apply, d_params, fakeB, realB)
+        explicit = fake_mean is not None and real_mean is not None
+        if not explicit:
+            self.update_pools(d_apply, d_params, fakeB, realB)
         pred_fake = d_apply(d_params, fakeB)
         pred_real = d_apply(d_params, realB)
-        fake_mean, real_mean = self._pool_means()
+        if not explicit:
+            fake_mean, real_mean = self.pool_means()
         return (
             jnp.mean((pred_real - fake_mean - 1.0) ** 2)
             + jnp.mean((pred_fake - real_mean + 1.0) ** 2)

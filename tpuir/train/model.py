@@ -10,8 +10,10 @@ training-state save/resume (NumPy npz — readable anywhere, no torch).
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
+import time
 from typing import Dict, Optional
 
 import jax
@@ -48,8 +50,27 @@ def _unflatten_params(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def _write_with_retry(path: str, write_fn, retries: int = 3) -> None:
+    """Retry transient checkpoint-write failures, then warn and move on —
+    the reference's 'avoid occasional writing errors' loop
+    (/root/reference/src/mair/basicsr/models/base_model.py:225-240)."""
+    logger = logging.getLogger("tpuir")
+    for attempt in range(retries):
+        try:
+            write_fn(path)
+            return
+        except Exception as e:  # noqa: BLE001 — reference catches everything
+            logger.warning(
+                "Save model error: %s, remaining retry times: %d",
+                e, retries - attempt - 1,
+            )
+            time.sleep(1)
+    logger.warning("Still cannot save %s. Just ignore it.", path)
+
+
 def save_params_npz(path: str, params) -> None:
-    np.savez(path, **_flatten_params(params))
+    flat = _flatten_params(params)
+    _write_with_retry(path, lambda p: np.savez(p, **flat))
 
 
 def load_params_npz(path: str):
@@ -226,25 +247,29 @@ class SRModel:
                 self.state.ema_params,
             )
         if self.state is not None:
-            with open(os.path.join(states_dir, f"{current_iter}.state"), "wb") as f:
-                pickle.dump(
-                    {
-                        "epoch": epoch,
-                        "iter": current_iter,
-                        "opt_state": jax.tree_util.tree_map(
-                            np.asarray, self.state.opt_state
-                        ),
-                        "params": jax.tree_util.tree_map(
-                            np.asarray, self.state.params
-                        ),
-                        "ema_params": jax.tree_util.tree_map(
-                            np.asarray, self.state.ema_params
-                        )
-                        if self.state.ema_params is not None
-                        else None,
-                    },
-                    f,
+            payload = {
+                "epoch": epoch,
+                "iter": current_iter,
+                "opt_state": jax.tree_util.tree_map(
+                    np.asarray, self.state.opt_state
+                ),
+                "params": jax.tree_util.tree_map(
+                    np.asarray, self.state.params
+                ),
+                "ema_params": jax.tree_util.tree_map(
+                    np.asarray, self.state.ema_params
                 )
+                if self.state.ema_params is not None
+                else None,
+            }
+
+            def _dump(p):
+                with open(p, "wb") as f:
+                    pickle.dump(payload, f)
+
+            _write_with_retry(
+                os.path.join(states_dir, f"{current_iter}.state"), _dump
+            )
 
     def resume_training(self, state_path: str) -> Dict:
         with open(state_path, "rb") as f:
