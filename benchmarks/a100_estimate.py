@@ -1,0 +1,396 @@
+#!/usr/bin/env python
+"""Derive per-model A100 throughput baselines from the reference's own op
+stream (VERDICT r3 item 4: "make the A100 baseline defensible").
+
+Method
+------
+The reference (PyTorch eager, B=1 patches — its engine never batches,
+/root/reference/src/utils.py:412) is traced ON CPU with torch.profiler
+(record_shapes + with_flops) at each model's harness patch size. The trace
+yields, per top-level aten op: its FLOPs and an input-bytes estimate. An
+analytic A100 execution model then prices the stream:
+
+    t_model = max( N_ops * LAUNCH,                      # eager dispatch wall
+                   sum_op max(KMIN, flops/PEAK, bytes/BW) )   # device wall
+
+with deliberately GENEROUS constants (higher reference throughput =>
+harder target for the TPU build):
+
+  * LAUNCH = 7 us     per top-level eager op (CUDA launch + dispatch;
+                      assumes perfect async pipelining, i.e. the launch
+                      wall fully overlaps the device wall)
+  * KMIN   = 1.5 us   minimum kernel duration
+  * BW     = 1.6e12   B/s effective HBM (A100-80GB SXM, 2.04 TB/s peak,
+                      ~80%% achievable; bytes are estimated as
+                      2 x input bytes = read + write)
+  * PEAK   = 70e12    conv/matmul FLOP/s (TF32 156 TFLOPS x ~45%%
+                      utilization; generously applied to ALL matmuls even
+                      though torch leaves matmul TF32 off by default)
+
+The mamba_ssm selective scan (a single fused CUDA kernel per mixer) is
+priced separately from its kernel HBM traffic (it is memory-bound:
+reads u, delta, B, C + writes y), not from the Python stub used to make
+the reference model traceable on CPU (the stub returns its input aliased,
+so it contributes zero ops to the trace).
+
+Scaling: models whose harness patch is too large to trace on CPU are
+traced at a smaller size and the per-op flops/bytes scaled by the pixel
+ratio (valid for conv nets: op COUNT is resolution-independent, per-op
+work is linear in pixels; Restormer's MDTA attention is also linear in L).
+
+Everything the model EXCLUDES is also generous to the reference: per-patch
+host<->device copies, the per-patch numpy AWGN synthesis, python loop
+overhead, and MaIRUNet's per-forward CPU id regeneration
+(/root/reference/src/mair/realDenoising/basicsr/models/archs/mairunet_arch.py:657-673)
+are all inside the reference's measured per-image ms but priced at zero here.
+
+Writes benchmarks/a100_estimates.json; BASELINE.md carries the table.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import torch
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REF = "/root/reference/src"
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, REF)
+
+LAUNCH = 7e-6
+KMIN = 1.5e-6
+BW = 1.6e12
+PEAK = 70e12
+
+_scan_calls = []
+
+
+def _install_stubs():
+    """Make the reference's CUDA-only imports resolve on CPU.
+
+    mamba_ssm.selective_scan_fn returns its input aliased (zero trace
+    footprint); its real kernel cost is priced analytically from the
+    recorded call shapes. timm.layers provides the three symbols the MaIR
+    archs import (mair_arch.py:9)."""
+    ss = types.ModuleType("mamba_ssm.ops.selective_scan_interface")
+
+    def selective_scan_fn(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                          delta_softplus=False, return_last_state=False):
+        _scan_calls.append((tuple(u.shape), tuple(B.shape)))
+        return u
+
+    ss.selective_scan_fn = selective_scan_fn
+    ss.selective_scan_ref = selective_scan_fn
+    pkg = types.ModuleType("mamba_ssm")
+    ops = types.ModuleType("mamba_ssm.ops")
+    sys.modules["mamba_ssm"] = pkg
+    sys.modules["mamba_ssm.ops"] = ops
+    sys.modules["mamba_ssm.ops.selective_scan_interface"] = ss
+
+    import torch.nn as nn
+
+    tl = types.ModuleType("timm.layers")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(t, *a, **k):
+        with torch.no_grad():
+            t.normal_(0, 0.02)
+        return t
+
+    tl.DropPath, tl.to_2tuple, tl.trunc_normal_ = DropPath, to_2tuple, trunc_normal_
+    from inception_torch import fake_timm_module
+
+    timm = fake_timm_module()
+    timm.layers = tl
+    sys.modules["timm"] = timm
+    sys.modules["timm.layers"] = tl
+
+
+def _load_module(name, path):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def scan_kernel_seconds():
+    """Price the recorded selective-scan calls: the fused kernel reads
+    u + delta (B,KD,L each), B + C (B,K,N,L each), writes y (B,KD,L)."""
+    t = 0.0
+    for u_shape, b_shape in _scan_calls:
+        kdl = float(np.prod(u_shape))
+        knl = float(np.prod(b_shape))
+        traffic = (3 * kdl + 2 * knl) * 4.0
+        t += max(KMIN, traffic / BW) + 0.0  # launch counted in N_ops? no:
+        # the stub leaves no trace op, so add the launch here too
+        t += LAUNCH
+    return t
+
+
+def trace(model, x, train_mode=False):
+    from torch.profiler import ProfilerActivity, profile
+
+    _scan_calls.clear()
+    # train_mode: MaIRUNet's eval branch assigns its scan ids only under
+    # torch.cuda.is_available() (mairunet_arch.py:668-673) and hits an
+    # UnboundLocalError on CPU; train mode uses the cached ids and emits
+    # the same steady-state op stream (DropPath is an identity stub, there
+    # is no BatchNorm anywhere).
+    model.train(True) if train_mode else model.eval()
+    with torch.no_grad():
+        model(x)  # warm-up (parameter lazy init, shape caches)
+        with profile(
+            activities=[ProfilerActivity.CPU],
+            record_shapes=True,
+            with_flops=True,
+        ) as prof:
+            model(x)
+    ops = []
+    SKIP = (
+        "aten::empty", "aten::empty_like", "aten::empty_strided", "aten::to",
+        "aten::_to_copy", "aten::detach", "aten::t", "aten::transpose",
+        "aten::view", "aten::reshape", "aten::permute", "aten::expand",
+        "aten::unsqueeze", "aten::squeeze", "aten::as_strided",
+        "aten::resolve_conj", "aten::resolve_neg", "aten::result_type",
+        "aten::size", "aten::stride", "aten::is_complex", "aten::item",
+        "aten::contiguous", "aten::unfold", "aten::select", "aten::slice",
+        "aten::narrow", "aten::split", "aten::chunk", "aten::alias",
+    )
+    # NOTE: view-type ops (transpose/permute/contiguous...) are skipped as
+    # zero-cost; eager contiguous() DOES copy, so this is again generous.
+    for ev in prof.events():
+        if not ev.name.startswith("aten::"):
+            continue
+        parent = getattr(ev, "cpu_parent", None)
+        if parent is not None and parent.name.startswith("aten::"):
+            continue  # nested implementation detail of a top-level op
+        if ev.name in SKIP:
+            continue
+        flops = ev.flops or 0
+        stack = list(getattr(ev, "cpu_children", []) or [])
+        while stack:
+            c = stack.pop()
+            flops += c.flops or 0
+            stack.extend(getattr(c, "cpu_children", []) or [])
+        in_elems = 0
+        for shp in ev.input_shapes or []:
+            if shp:
+                in_elems += int(np.prod(shp))
+        ops.append((ev.name, float(flops), 2.0 * 4.0 * in_elems))
+    return ops
+
+
+def price(ops, scale=1.0, scan_t=0.0):
+    n = len(ops)
+    flops = sum(f for _, f, _ in ops) * scale
+    dev = sum(
+        max(KMIN, f * scale / PEAK, b * scale / BW) for _, f, b in ops
+    )
+    dev += scan_t * scale
+    launch_wall = n * LAUNCH
+    return {
+        "n_ops": n,
+        "gflops": round(flops / 1e9, 1),
+        "t_launch_ms": round(launch_wall * 1e3, 2),
+        "t_device_ms": round(dev * 1e3, 2),
+        "t_ms": round(max(launch_wall, dev) * 1e3, 2),
+    }
+
+
+def main():
+    _install_stubs()
+    torch.manual_seed(0)
+    results = {}
+
+    def run(name, model, in_ch, trace_px, target_px, extra_note="",
+            train_mode=False):
+        x = torch.zeros(1, in_ch, trace_px, trace_px)
+        ops = trace(model, x, train_mode)
+        scan_t = scan_kernel_seconds()
+        scale = (target_px / trace_px) ** 2
+        r = price(ops, scale, scan_t)
+        mpix = target_px * target_px / (r["t_ms"] / 1e3) / 1e6
+        # System-level time: what the reference's Avg_Time_ms actually
+        # measures per patch (src/utils.py:408-434, timed loop): the
+        # H2D/D2H copies (PCIe gen4 ~25 GB/s; the .cpu() at utils.py:425
+        # synchronizes, so nothing overlaps) and the numpy Gaussian-window
+        # blend (~6 array passes over the patch at single-thread numpy
+        # ~8 GB/s). AWGN synthesis (also in the timed loop for gaussian
+        # suites) is EXCLUDED — generous to the reference.
+        px_bytes = target_px * target_px * 4.0
+        pcie_s = (in_ch + 3.0) * px_bytes / 25e9
+        blend_s = 6.0 * 3.0 * px_bytes / 8e9
+        t_sys = r["t_ms"] / 1e3 + pcie_s + blend_s
+        mpix_sys = target_px * target_px / t_sys / 1e6
+        r.update(
+            patch_px=target_px,
+            traced_px=trace_px,
+            a100_device_mpix_per_s=round(mpix, 3),
+            a100_system_mpix_per_s=round(mpix_sys, 3),
+            tpu_target_mpix_per_s=round(4 * mpix, 3),
+            tpu_system_target_mpix_per_s=round(4 * mpix_sys, 3),
+        )
+        if extra_note:
+            r["note"] = extra_note
+        results[name] = r
+        print(
+            f"{name:36s} ops={r['n_ops']:5d} gflops={r['gflops']:9.1f} "
+            f"launch={r['t_launch_ms']:7.2f}ms dev={r['t_device_ms']:8.2f}ms "
+            f"-> {r['t_ms']:8.2f}ms  dev {mpix:8.3f} / sys {mpix_sys:8.3f} "
+            f"Mpix/s  (4x dev = {4*mpix:.3f})",
+            flush=True,
+        )
+
+    # --- plain conv stacks --------------------------------------------------
+    from rednet.rednet import REDNet
+
+    run("REDNet@128", REDNet(), 1, 128, 128)
+
+    from dncnn.models.network_dncnn import DnCNN
+
+    run("DnCNN-nonblind-gray@256", DnCNN(1, 1, 64, 17, "R"), 1, 256, 256)
+    run("DnCNN-blind-color@256", DnCNN(3, 3, 64, 20, "R"), 3, 256, 256)
+
+    # --- Restormer ----------------------------------------------------------
+    from restormer.restormer import Restormer
+
+    run("Restormer@256", Restormer(LayerNorm_type="BiasFree"), 3, 256, 256)
+    run(
+        "Restormer@512",
+        Restormer(LayerNorm_type="WithBias"),
+        3, 256, 512,
+        extra_note="deblur harness patch; scaled from a 256px trace "
+        "(op count is resolution-independent; MDTA is linear in L)",
+    )
+
+    # --- DeblurGANv2 ----------------------------------------------------------
+    # stub the deblurganv2 package chain so loading the model files does not
+    # execute the real package __init__ (it imports albumentations)
+    for pkg_name in ("deblurganv2", "deblurganv2.models"):
+        if pkg_name not in sys.modules:
+            stub = types.ModuleType(pkg_name)
+            stub.__path__ = []
+            sys.modules[pkg_name] = stub
+    _load_module(
+        "deblurganv2.models.mobilenet_v2",
+        f"{REF}/deblurganv2/models/mobilenet_v2.py",
+    )
+    fpn_m = _load_module(
+        "ref_fpn_mobilenet",
+        f"{REF}/deblurganv2/models/fpn_mobilenet.py",
+    )
+    run(
+        "DeblurGANv2-MobileNet@2048",
+        fpn_m.FPNMobileNet(norm_layer=torch.nn.InstanceNorm2d,
+                           pretrained=False),
+        3, 256, 2048,
+        extra_note="scaled from a 256px trace",
+    )
+    sys.modules.setdefault("torchsummary", types.ModuleType("torchsummary"))
+    sys.modules["torchsummary"].summary = lambda *a, **k: None
+    fpn_i = _load_module(
+        "ref_fpn_inception", f"{REF}/deblurganv2/models/fpn_inception.py"
+    )
+    run(
+        "DeblurGANv2-Inception@768",
+        fpn_i.FPNInception(norm_layer=torch.nn.InstanceNorm2d),
+        3, 256, 768,
+        extra_note="timm trunk replaced by the structurally-faithful "
+        "stand-in (tests/inception_torch.py); scaled from a 256px trace",
+    )
+
+    # --- MaIR (scan stubbed in trace; kernel priced analytically) ----------
+    # Pre-register the mair package chain as stub packages with REAL
+    # __path__s: the arch modules then import normally (incl. their
+    # relative .shift_scanf_util) without executing the basicsr package
+    # __init__s (which pull torchvision/lmdb via the registry auto-scan).
+    for pkg_name, sub in (
+        ("mair", "mair"),
+        ("mair.basicsr", "mair/basicsr"),
+        ("mair.basicsr.archs", "mair/basicsr/archs"),
+        ("mair.basicsr.utils", "mair/basicsr/utils"),
+        ("mair.realDenoising", "mair/realDenoising"),
+        ("mair.realDenoising.basicsr", "mair/realDenoising/basicsr"),
+        ("mair.realDenoising.basicsr.models", "mair/realDenoising/basicsr/models"),
+        ("mair.realDenoising.basicsr.models.archs",
+         "mair/realDenoising/basicsr/models/archs"),
+    ):
+        if pkg_name not in sys.modules:
+            stub = types.ModuleType(pkg_name)
+            stub.__path__ = [os.path.join(REF, sub)]
+            sys.modules[pkg_name] = stub
+    import mair.basicsr.archs.mair_arch as mair_arch
+
+    run(
+        "MaIR-CDN@128",
+        mair_arch.MaIR(
+            img_size=128, embed_dim=180, depths=(6,) * 6, d_state=16,
+            ssm_ratio=1.3, mlp_ratio=2.0, scan_len=4, dynamic_ids=False,
+        ),
+        3, 128, 128,
+    )
+    run(
+        "MaIR-CDN@384",
+        mair_arch.MaIR(
+            img_size=384, embed_dim=180, depths=(6,) * 6, d_state=16,
+            ssm_ratio=1.3, mlp_ratio=2.0, scan_len=4, dynamic_ids=False,
+        ),
+        3, 384, 384,
+        extra_note="traced directly at 384",
+    )
+    import mair.realDenoising.basicsr.models.archs.mairunet_arch as mu
+
+    run(
+        "MaIRUNet@128",
+        mu.MaIRUNet(
+            inp_channels=3, out_channels=3, dim=48, num_blocks=[4, 6, 6, 8],
+            num_refinement_blocks=4, ssm_ratio=2.0, mlp_ratio=1.5,
+            flp_ratio=4.0, scan_len=4,
+        ),
+        3, 128, 128, train_mode=True,
+    )
+    run(
+        "MaIRUNet@384",
+        mu.MaIRUNet(
+            inp_channels=3, out_channels=3, dim=48, num_blocks=[4, 6, 6, 8],
+            num_refinement_blocks=4, ssm_ratio=2.0, mlp_ratio=1.5,
+            flp_ratio=4.0, scan_len=4,
+        ),
+        3, 384, 384,
+        extra_note="traced directly at 384", train_mode=True,
+    )
+
+    out = {
+        "model": {
+            "LAUNCH_us": LAUNCH * 1e6,
+            "KMIN_us": KMIN * 1e6,
+            "BW_B_per_s": BW,
+            "PEAK_flop_per_s": PEAK,
+            "form": "t = max(n_ops*LAUNCH, sum_op max(KMIN, flops/PEAK, "
+            "2*in_bytes/BW)) + analytic mamba-scan kernel traffic",
+        },
+        "results": results,
+    }
+    with open("benchmarks/a100_estimates.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("written benchmarks/a100_estimates.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,32 +49,39 @@ print(f"    -> LN cost ~{base-d:.2f} ms", flush=True)
 M.TorchLayerNorm.__call__ = orig_ln
 
 # knock out in_proj/dwconv/out_proj wrapping of the scan: replace the whole
-# SSMixer body with just the stripe scan on a fixed-width input
-orig_mix = M.SSMixer.__call__
-def scan_only(self, x, ids, shift=False):
-    B, H, W, _ = x.shape
-    d_inner = int(self.expand * self.d_model)
-    import math
-    R = math.ceil(self.d_model / 16)
-    N = self.d_state
-    K = 4
-    xz = nn.Dense(d_inner, use_bias=False, name="in_proj_slim")(x)
-    x_proj_w = self.param("x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner))
-    dt_w = self.param("dt_projs_weight", nn.initializers.normal(0.02), (K, d_inner, R))
-    dt_b = self.param("dt_projs_bias", nn.initializers.zeros, (K, d_inner))
-    A_logs = self.param("A_logs", nn.initializers.normal(0.02), (K, d_inner, N))
-    Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
-    from tpuir.ops.nss_stripe import nss_scan_stripe, combine_halves
-    out = nss_scan_stripe(
-        xz, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
-        scan_len=self.scan_len, shift=shift, serving=True)
-    g = jnp.ones((B, 4, d_inner), jnp.float32) * 0.25
-    y = combine_halves(*out[:4], g, shift, self.scan_len)
-    return nn.Dense(self.d_model, use_bias=False, name="out_proj_slim")(
-        y.astype(jnp.bfloat16)).astype(x.dtype)
-M.SSMixer.__call__ = scan_only
+# SSMixer body with just the stripe scan on a fixed-width input.
+# (flax resolves @nn.compact at class creation, so this must be a subclass
+# swapped into the module namespace — not a monkeypatched __call__.)
+import math
+orig_mixer_cls = M.SSMixer
+
+class ScanOnlyMixer(M.SSMixer):
+    @nn.compact
+    def __call__(self, x, ids, shift=False):
+        B, H, W, _ = x.shape
+        d_inner = int(self.expand * self.d_model)
+        R = math.ceil(self.d_model / 16)
+        N = self.d_state
+        K = 4
+        xz = nn.Dense(d_inner, use_bias=False, name="in_proj_slim")(x)
+        x_proj_w = self.param("x_proj_weight", nn.initializers.normal(0.02), (K, R + 2 * N, d_inner))
+        dt_w = self.param("dt_projs_weight", nn.initializers.normal(0.02), (K, d_inner, R))
+        dt_b = self.param("dt_projs_bias", nn.initializers.zeros, (K, d_inner))
+        A_logs = self.param("A_logs", nn.initializers.normal(0.02), (K, d_inner, N))
+        Ds = self.param("Ds", nn.initializers.ones, (K, d_inner))
+        from tpuir.ops.nss_stripe import nss_scan_stripe, combine_halves
+        out = nss_scan_stripe(
+            xz, x_proj_w, dt_w, -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
+            scan_len=self.scan_len, shift=shift, serving=True)
+        g = jnp.ones((B, 4, d_inner), jnp.float32) * 0.25
+        y = combine_halves(*out[:4], g, shift, self.scan_len)
+        return nn.Dense(self.d_model, use_bias=False, name="out_proj_slim")(
+            y.astype(jnp.bfloat16)).astype(x.dtype)
+
+ScanOnlyMixer.__name__ = "SSMixer"  # keep flax param paths identical
+M.SSMixer = ScanOnlyMixer
 p2 = msrv.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 d = timeit("scan-only mixer (no dwconv/silu/gate/out_norm)",
            lambda q, pp: msrv.apply(pp, q), x, p2)
 print(f"    -> mixer-glue cost ~{base-d:.2f} ms", flush=True)
-M.SSMixer.__call__ = orig_mix
+M.SSMixer = orig_mixer_cls
