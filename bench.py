@@ -11,13 +11,22 @@ pinned by tests/test_serving_mode.py and scripts/validate_serving.py).
   * MaIR-CDN: fused-projection Pallas scan, bf16 scan IO, at the harness
     patch size 128.
 
-Both rows use the SAME kind of denominator (VERDICT r2 weak #6):
-vs_baseline = Mpix/s over 4x the model's estimated A100 throughput
-(Restormer ~3.0 Mpix/s, MaIR-CDN ~0.1 Mpix/s — the reference's CUDA
-selective-scan path is slow; override with TPUIR_BENCH_A100_MPIXPS /
-TPUIR_BENCH_A100_MAIR_MPIXPS). The MaIR row also carries
-vs_soft_target, the ratio against the 0.4 Mpix/s round-2 soft target
-(VERDICT r1) that earlier rounds reported as vs_baseline.
+Denominators (round 4, VERDICT r3 item 4): vs_baseline = Mpix/s over
+4x the DERIVED A100 device throughput of the reference's own op stream
+(benchmarks/a100_estimate.py -> benchmarks/a100_estimates.json; method
+and the full table in BASELINE.md). Restormer ~2.88 Mpix/s, MaIR-CDN
+~0.38 Mpix/s (the old 3.0/0.1 guesses are superseded; 0.1 was ~4x too
+favorable to this build). Env overrides TPUIR_BENCH_A100_MPIXPS /
+TPUIR_BENCH_A100_MAIR_MPIXPS remain.
+
+Context fields per row (see BASELINE.md "What the derivation shows"):
+  * vs_a100        — ours / 1x A100-device (per-chip ratio)
+  * sol_fraction   — ours / this chip's flop speed-of-light for the
+    model (XLA-counted FLOPs / 45 TFLOP/s measured bf16 MXU peak).
+    A100-80GB is ~1.6x this chip on MXU flops and ~5x on elementwise
+    fp32, so 4x-per-chip exceeds silicon for both flagships (for
+    Restormer the 4x target is 11.5 Mpix/s vs an 8.8 Mpix/s 100%-MFU
+    ceiling); sol_fraction shows how much software headroom remains.
 """
 
 import json
@@ -61,6 +70,15 @@ def measure(apply_fn, params, x, iters, pin_f32=False):
     return x.shape[0] * x.shape[1] * x.shape[2] * iters / dt / 1e6
 
 
+def _a100_estimates():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "a100_estimates.json")
+    try:
+        return json.load(open(path))["results"]
+    except Exception:
+        return {}
+
+
 def main():
     iters = int(os.environ.get("TPUIR_BENCH_ITERS", "10"))
     np.asarray(jnp.ones((8, 8)))  # tunnel warm-up (first contact is ~2 min)
@@ -73,7 +91,16 @@ def main():
     mp = mair.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     xm = jnp.asarray(rng.rand(1, 128, 128, 3), jnp.float32)
     mair_mpix = measure(mair.apply, mp, xm, iters)
-    a100_mair = float(os.environ.get("TPUIR_BENCH_A100_MAIR_MPIXPS", "0.1"))
+    est = _a100_estimates()
+    a100_mair = float(os.environ.get(
+        "TPUIR_BENCH_A100_MAIR_MPIXPS",
+        est.get("MaIR-CDN@128", {}).get("a100_device_mpix_per_s", 0.379),
+    ))
+    # v5e flop SoL: XLA-counted 1572 GFLOP @256 (scripts/compute_flops.py)
+    # -> 393 GFLOP @128 over the measured 45 TFLOP/s bf16 peak. The scan
+    # executes on the VPU (~4 Tops/s), not the MXU, so this ceiling is
+    # structurally unreachable for MaIR — see BASELINE.md.
+    mair_sol = 128 * 128 / (393.1e9 / 45e12) / 1e6
     print(
         json.dumps(
             {
@@ -81,6 +108,8 @@ def main():
                 "value": round(mair_mpix, 3),
                 "unit": "Mpix/s/chip",
                 "vs_baseline": round(mair_mpix / (4.0 * a100_mair), 3),
+                "vs_a100": round(mair_mpix / a100_mair, 3),
+                "sol_fraction": round(mair_mpix / mair_sol, 3),
                 "vs_soft_target": round(mair_mpix / 0.4, 3),
             }
         ),
@@ -104,7 +133,12 @@ def main():
         rest_mpix = measure(apply_fn, rp, x, iters)
     else:
         rest_mpix = measure(rest.apply, rp, x, iters)
-    a100_est = float(os.environ.get("TPUIR_BENCH_A100_MPIXPS", "3.0"))
+    a100_est = float(os.environ.get(
+        "TPUIR_BENCH_A100_MPIXPS",
+        est.get("Restormer@256", {}).get("a100_device_mpix_per_s", 2.876),
+    ))
+    # v5e flop SoL: 335 GFLOP @256 (XLA count) / 45 TFLOP/s
+    rest_sol = 256 * 256 / (335.0e9 / 45e12) / 1e6
     print(
         json.dumps(
             {
@@ -112,6 +146,8 @@ def main():
                 "value": round(rest_mpix, 3),
                 "unit": "Mpix/s/chip",
                 "vs_baseline": round(rest_mpix / (4.0 * a100_est), 3),
+                "vs_a100": round(rest_mpix / a100_est, 3),
+                "sol_fraction": round(rest_mpix / rest_sol, 3),
             }
         )
     )

@@ -188,8 +188,16 @@ def trace(model, x, train_mode=False):
             c = stack.pop()
             flops += c.flops or 0
             stack.extend(getattr(c, "cpu_children", []) or [])
+        shapes = ev.input_shapes or []
+        if flops == 0 and "conv_transpose" in ev.name and len(shapes) >= 2:
+            # torch's with_flops covers conv/gemm but NOT ConvTranspose2d
+            # (REDNet is half deconvs); estimate 2*B*Hout*Wout*Cin*Cout*k^2
+            # from the input/weight shapes (stride-1 in REDNet, so
+            # Hout=Hin)
+            (b, cin, hh, ww), w = shapes[0], shapes[1]
+            flops = 2.0 * b * hh * ww * w[0] * w[1] * w[2] * w[3]
         in_elems = 0
-        for shp in ev.input_shapes or []:
+        for shp in shapes:
             if shp:
                 in_elems += int(np.prod(shp))
         ops.append((ev.name, float(flops), 2.0 * 4.0 * in_elems))
@@ -295,13 +303,16 @@ def main():
         "ref_fpn_mobilenet",
         f"{REF}/deblurganv2/models/fpn_mobilenet.py",
     )
+    mobilenet_model = fpn_m.FPNMobileNet(
+        norm_layer=torch.nn.InstanceNorm2d, pretrained=False
+    )
     run(
         "DeblurGANv2-MobileNet@2048",
-        fpn_m.FPNMobileNet(norm_layer=torch.nn.InstanceNorm2d,
-                           pretrained=False),
+        mobilenet_model,
         3, 256, 2048,
         extra_note="scaled from a 256px trace",
     )
+    run("DeblurGANv2-MobileNet@256", mobilenet_model, 3, 256, 256)
     sys.modules.setdefault("torchsummary", types.ModuleType("torchsummary"))
     sys.modules["torchsummary"].summary = lambda *a, **k: None
     fpn_i = _load_module(

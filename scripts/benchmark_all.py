@@ -84,6 +84,36 @@ def cases(large=False):
 # ratioed against the same ceiling so MFU is comparable across modes.
 PEAK_FLOPS = 45e12
 
+# Derived A100 baselines (benchmarks/a100_estimate.py -> BASELINE.md):
+# row-name prefix -> a100_estimates.json key. vs_a100 = ours / A100-device;
+# vs_target = ours / (4 x A100-device), the BASELINE.json north star.
+_A100_KEY = {
+    "REDNet@128": "REDNet@128",
+    "DnCNN@256": "DnCNN-nonblind-gray@256",
+    "Restormer@256": "Restormer@256",
+    "Restormer@512": "Restormer@512",
+    "DeblurGANv2-MobileNet@256": "DeblurGANv2-MobileNet@256",
+    "DeblurGANv2-MobileNet@2048": "DeblurGANv2-MobileNet@2048",
+    "DeblurGANv2-Inception@768": "DeblurGANv2-Inception@768",
+    "MaIR-CDN@128": "MaIR-CDN@128",
+    "MaIR-CDN@384": "MaIR-CDN@384",
+    "MaIRUNet@128": "MaIRUNet@128",
+    "MaIRUNet@384": "MaIRUNet@384",
+}
+
+
+def a100_device_mpix(row_name):
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "benchmarks", "a100_estimates.json")
+    try:
+        est = json.load(open(path))["results"]
+    except Exception:
+        return None
+    for prefix, key in _A100_KEY.items():
+        if row_name.startswith(prefix) and key in est:
+            return est[key]["a100_device_mpix_per_s"]
+    return None
+
 _flops_cache: dict = {}
 
 
@@ -175,7 +205,8 @@ def main():
     rows = cases(large)
     if large:  # run only the large-shape rows; results merge into the json
         rows = rows[len(cases(False)):]
-    print(f"{'Model':40s} {'ms/fwd':>9s} {'Mpix/s':>9s} {'MFU%':>6s}")
+    print(f"{'Model':40s} {'ms/fwd':>9s} {'Mpix/s':>9s} {'MFU%':>6s} "
+          f"{'vs_A100':>8s} {'vs_4x':>6s}")
     for name, model, override, in_ch, size, prec, batch in rows:
         try:
             ms, mpix = bench_case(model, override, in_ch, size, prec, batch)
@@ -185,7 +216,14 @@ def main():
                              "batch": batch}
             if mfu == mfu:  # not NaN
                 results[name]["mfu_pct"] = round(mfu, 1)
-            print(f"{name:40s} {ms:9.1f} {mpix:9.2f} {mfu:6.1f}", flush=True)
+            a100 = a100_device_mpix(name)
+            va = vt = float("nan")
+            if a100:
+                va, vt = mpix / a100, mpix / (4.0 * a100)
+                results[name]["vs_a100"] = round(va, 3)
+                results[name]["vs_target_4x_a100"] = round(vt, 3)
+            print(f"{name:40s} {ms:9.1f} {mpix:9.2f} {mfu:6.1f} "
+                  f"{va:8.2f} {vt:6.2f}", flush=True)
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"{name:40s} failed: {type(e).__name__}: {str(e)[:120]}", flush=True)

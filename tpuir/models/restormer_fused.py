@@ -69,10 +69,13 @@ def apply(
         pk = lane_pack
         while pk > 1 and (C * pk > 128 or h.shape[0] % pk):
             pk //= 2
+        # clamp the row tile to the stage height: wide tiles only pay off
+        # on the big levels, and rt > H would pad the whole image up to rt
+        rt = min(row_tile, h.shape[1])
         for i in range(n):
             h = fused_transformer_block(
                 h, p[f"{stage}_{i}"], n_heads, ln_bias,
-                row_tile=row_tile, mm_bf16=mm_bf16, fast_gelu=fast_gelu,
+                row_tile=rt, mm_bf16=mm_bf16, fast_gelu=fast_gelu,
                 lane_pack=pk, interpret=interpret,
             )
         return h
