@@ -50,6 +50,46 @@ class TorchLayerNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree (kernel[, bias]) for paths
+    that consume the raw arrays in a fused kernel instead of applying the
+    layer (init distribution and converter naming stay identical)."""
+
+    in_dim: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.in_dim, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return k, b
+
+
+class ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's tree for a depthwise conv."""
+
+    kh: int
+    kw: int
+    in_per_group: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.kh, self.kw, self.in_per_group, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -99,13 +139,6 @@ class SSMixer(nn.Module):
         L = H * W
         scan_ids, inv_ids = ids
         io_dtype = jnp.dtype(self.scan_io_dtype)
-
-        xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
-        x_, z = jnp.split(xz, 2, axis=-1)
-        x_ = nn.Conv(
-            d_inner, (3, 3), padding=1, feature_group_count=d_inner, name="conv2d"
-        )(x_)
-        x_ = nn.silu(x_)
 
         import os as _os
 
@@ -169,6 +202,31 @@ class SSMixer(nn.Module):
             _pallas_ok and _nss_mode == "stripe" and H == W and H % 2 == 0
         )
         fused_ok = _pallas_ok and not stripe_ok and _nss_mode != "0"
+        # Fused prologue (tpuir/ops/nss_prologue.py): in_proj + dwconv +
+        # SiLU + pad + transpose collapse into one Pallas pass that emits
+        # the stripe kernel's operands directly (kill-switch
+        # TPUIR_PROLOGUE=0). Only the stripe path consumes the
+        # pre-transposed operands.
+        use_prologue = stripe_ok and _os.environ.get("TPUIR_PROLOGUE", "1") != "0"
+        if use_prologue:
+            w_in, _ = DenseParams(
+                self.d_model, d_inner * 2, use_bias=False, name="in_proj"
+            )()
+            conv_k, conv_b = ConvParams(3, 3, 1, d_inner, name="conv2d")()
+            from tpuir.ops.nss_prologue import mixer_prologue
+
+            xp_pre, xpT_pre, z = mixer_prologue(
+                x, w_in, conv_k, conv_b, d_inner,
+                serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+            )
+        else:
+            xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
+            x_, z = jnp.split(xz, 2, axis=-1)
+            x_ = nn.Conv(
+                d_inner, (3, 3), padding=1, feature_group_count=d_inner,
+                name="conv2d",
+            )(x_)
+            x_ = nn.silu(x_)
         if stripe_ok:
             # Stripe-resident kernel (tpuir/ops/nss_stripe.py): the NSS
             # permutation never touches HBM — BlockSpecs walk the natural
@@ -185,13 +243,24 @@ class SSMixer(nn.Module):
                 io_dtype == jnp.bfloat16
                 and _os.environ.get("TPUIR_RECUR_BF16") == "1"
             )
-            oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
-                x_, x_proj_w, dt_w,
-                -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
-                scan_len=self.scan_len, shift=shift,
-                serving=(io_dtype == jnp.bfloat16), interpret=_interp,
-                recur_bf16=_recur_bf16,
-            )
+            if use_prologue:
+                from tpuir.ops.nss_stripe import nss_scan_stripe_pre
+
+                oL01, oR01, oL23, oR23, pooled = nss_scan_stripe_pre(
+                    xp_pre, xpT_pre, x_proj_w, dt_w,
+                    -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
+                    scan_len=self.scan_len, shift=shift,
+                    serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+                    recur_bf16=_recur_bf16,
+                )
+            else:
+                oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
+                    x_, x_proj_w, dt_w,
+                    -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
+                    scan_len=self.scan_len, shift=shift,
+                    serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+                    recur_bf16=_recur_bf16,
+                )
             gates = jax.nn.sigmoid(
                 jnp.einsum("bid,doi->bod", pooled / L, gw,
                            precision=jax.lax.Precision.HIGHEST,

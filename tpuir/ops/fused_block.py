@@ -158,6 +158,10 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
             return jax.lax.dot_general(
                 a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), (dims, ((), ())),
                 preferred_element_type=jnp.float32,
+                # explicit DEFAULT: an outer default_matmul_precision
+                # ("float32") pin (engine parity mode) must not force
+                # HIGHEST onto bf16 operands (Mosaic: "Bad lhs type")
+                precision=jax.lax.Precision.DEFAULT,
             )
     else:
         # parity mode: true-float32 (6-pass) matmuls

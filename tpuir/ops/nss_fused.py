@@ -178,6 +178,10 @@ def _make_kernel(chunk, n, r, d_tile, serving, P):
             return jax.lax.dot_general(
                 x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 (dims, ((), ())), preferred_element_type=jnp.float32,
+                # explicit DEFAULT: an outer default_matmul_precision
+                # ("float32") pin (engine parity mode) must not force
+                # HIGHEST onto bf16 operands (Mosaic: "Bad lhs type")
+                precision=jax.lax.Precision.DEFAULT,
             )
     else:
         def _proj(x, w, dims):

@@ -110,6 +110,10 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             return jax.lax.dot_general(
                 x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 (dims, ((), ())), preferred_element_type=jnp.float32,
+                # explicit DEFAULT: an outer default_matmul_precision
+                # ("float32") pin (engine parity mode) must not force
+                # HIGHEST onto bf16 operands (Mosaic: "Bad lhs type")
+                precision=jax.lax.Precision.DEFAULT,
             )
     else:
         def _proj(x, w, dims):
@@ -194,7 +198,7 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             dt_raw = _proj(xdbl[:, :r], wdt[0], ((1,), (1,)))
             dt = jax.nn.softplus(dt_raw + bias[0])
             # (N, Dp) — pre-scaled by log2(e); exp2(dt*A2) == exp(dt*A)
-            A2 = A[0].astype(jnp.bfloat16) if recur_bf16 else A[0]
+            A2 = A[0]
 
             dt4 = dt.reshape(S_, P, Dp)
             du4 = (dt * xs32).reshape(S_, P, Dp)
@@ -203,28 +207,45 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             if live is not None:
                 dt4 = dt4 * live
                 B4 = B4 * live
-            if recur_bf16:
-                # accuracy-gated serving variant: the level-1 recurrence
-                # rides bf16 (exponent range = f32, so no under/overflow in
-                # the hA decay products; ~0.4%/step mantissa noise is below
-                # the bf16 matmul noise the serving mode already carries).
-                # The level-2 carry chain stays float32.
-                du4 = du4.astype(jnp.bfloat16)
-                B4 = B4.astype(jnp.bfloat16)
-                C4 = C4.astype(jnp.bfloat16)
-                dt4 = dt4.astype(jnp.bfloat16)
 
             hA = hB = None
-            for p_ in range(P):  # level 1: sequential positions
-                av = jnp.exp2(dt4[:, p_][:, None, :] * A2[None])
-                bv = B4[:, p_][:, :, None] * du4[:, p_][:, None, :]
-                if p_ == 0:
-                    hA, hB = av, bv
-                else:
-                    hA = av * hA
-                    hB = av * hB + bv
-                HA[:, p_] = hA
-                HB[:, p_] = hB
+            if recur_bf16:
+                # accuracy-gated serving variant: the level-1 recurrence
+                # FMA chain rides bf16 (exponent range = f32, so no under/
+                # overflow in the hA decay products; ~0.4%/step mantissa
+                # noise is below the bf16 matmul noise the serving mode
+                # already carries). The decay/input tensors are formed
+                # vectorized over P in f32 and cast ONCE — Mosaic cannot
+                # relayout small bf16 vectors with unit minor dims (the
+                # per-position (S_, n) -> (S_, n, 1) tpu.reshape fails in
+                # bf16) — and the level-2 carry chain stays float32.
+                AV = jnp.exp2(
+                    dt4[:, :, None, :] * A2[None, None]
+                ).astype(jnp.bfloat16)  # (S_, P, n, Dp)
+                BV = (
+                    B4[..., None] * du4[:, :, None, :]
+                ).astype(jnp.bfloat16)
+                for p_ in range(P):  # level 1: sequential positions
+                    av = AV[:, p_]
+                    bv = BV[:, p_]
+                    if p_ == 0:
+                        hA, hB = av, bv
+                    else:
+                        hA = av * hA
+                        hB = av * hB + bv
+                    HA[:, p_] = hA
+                    HB[:, p_] = hB
+            else:
+                for p_ in range(P):  # level 1: sequential positions
+                    av = jnp.exp2(dt4[:, p_][:, None, :] * A2[None])
+                    bv = B4[:, p_][:, :, None] * du4[:, p_][:, None, :]
+                    if p_ == 0:
+                        hA, hB = av, bv
+                    else:
+                        hA = av * hA
+                        hB = av * hB + bv
+                    HA[:, p_] = hA
+                    HB[:, p_] = hB
 
             # level 2: chain subchunk carries. SEQ/HA/HB sit in ACTUAL
             # subchunk order (the per-position gather only normalizes the
@@ -335,18 +356,32 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
              recur_bf16=False):
     B, H, W, d = x.shape
     assert H == W, "stripe kernel requires square patches"
+    dp = (-d) % 128
+    io_dtype = jnp.bfloat16 if serving else jnp.float32
+    xp = jnp.pad(x.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dp)))
+    xpT = jnp.transpose(xp, (0, 2, 1, 3))  # column dirs read row blocks of x^T
+    return _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                         scan_len, shift, serving, vert_p, interpret,
+                         recur_bf16)
+
+
+def _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                  scan_len, shift, serving, vert_p, interpret,
+                  recur_bf16=False):
+    """Kernel launch on pre-padded operands: xp (B, H, W, Dp) in io dtype,
+    xpT its (0, 2, 1, 3) transpose. ``d`` (the real channel count) comes
+    from x_proj_w."""
+    B, H, W, Dp = xp.shape
+    assert H == W, "stripe kernel requires square patches"
     SL = scan_len
     half = SL // 2
     S = W // SL
-    dp = (-d) % 128
-    Dp = d + dp
+    d = x_proj_w.shape[-1]
+    dp = Dp - d
     n = A.shape[-1]
     r = x_proj_w.shape[1] - 2 * n
     io_dtype = jnp.bfloat16 if serving else jnp.float32
     out_dtype = io_dtype
-
-    xp = jnp.pad(x.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dp)))
-    xpT = jnp.transpose(xp, (0, 2, 1, 3))  # column dirs read row blocks of x^T
     wxp = jnp.pad(x_proj_w.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))
     wdt = jnp.pad(dt_w.astype(jnp.float32), ((0, 0), (0, dp), (0, 0)))
     # fold log2(e) into A so the kernel's decay is one exp2, not exp
@@ -566,6 +601,101 @@ def _stripe_bwd(scan_len, shift, serving, vert_p, interpret, recur_bf16,
 
 
 _stripe_vjp.defvjp(_stripe_fwd, _stripe_bwd)
+
+
+def _reference_pre(xp, xpT, x_proj_w, dt_w, A, D, delta_bias, scan_len,
+                   shift):
+    """Split-input reference for the ``pre`` path: directions 0/1 consume
+    xpT's data (the kernel's xTL/xTR operands), directions 2/3 consume
+    xp's — so the vjp attributes each input its own gradient."""
+    d = x_proj_w.shape[-1]
+    x01 = jnp.transpose(xpT, (0, 2, 1, 3))[..., :d]
+    x23 = xp[..., :d]
+    y01, p01 = _reference(x01, x_proj_w, dt_w, A, D, delta_bias, scan_len,
+                          shift)
+    y23, p23 = _reference(x23, x_proj_w, dt_w, A, D, delta_bias, scan_len,
+                          shift)
+    y = jnp.concatenate([y01[:, :2], y23[:, 2:]], axis=1)
+    pooled = jnp.concatenate([p01[:, :2], p23[:, 2:]], axis=1)
+    return y, pooled
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _stripe_pre_vjp(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                    scan_len, shift, serving, vert_p, interpret,
+                    recur_bf16):
+    return _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                         scan_len, shift, serving, vert_p, interpret,
+                         recur_bf16)
+
+
+def _stripe_pre_fwd(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                    scan_len, shift, serving, vert_p, interpret,
+                    recur_bf16):
+    out = _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                        scan_len, shift, serving, vert_p, interpret,
+                        recur_bf16)
+    return out, (xp, xpT, x_proj_w, dt_w, A, D, delta_bias)
+
+
+def _stripe_pre_bwd(scan_len, shift, serving, vert_p, interpret,
+                    recur_bf16, res, g):
+    xp, xpT, wxp, wdt, A, D, bias = res
+    goL01, goR01, goL23, goR23, gpool = [t.astype(jnp.float32) for t in g]
+    W = xp.shape[2]
+    fwd, rot = _half_block_masks(W, shift, scan_len)
+    sel = jnp.stack([fwd, rot])[None, :, :, None, None]
+    gy01 = jnp.transpose(jnp.where(sel, goL01, goR01), (0, 1, 3, 2, 4))
+    gy23 = jnp.where(sel, goL23, goR23)
+    gy = jnp.concatenate([gy01, gy23], axis=1)  # (B, 4, H, W, d+pad)
+    d = wxp.shape[-1]
+    gy = gy[..., :d]
+
+    def ref(xp, xpT, wxp, wdt, A, D, bias):
+        return _reference_pre(xp, xpT, wxp, wdt, A, D, bias, scan_len,
+                              shift)
+
+    _, vjp = jax.vjp(ref, xp, xpT, wxp, wdt, A, D, bias)
+    return vjp((gy, gpool))
+
+
+_stripe_pre_vjp.defvjp(_stripe_pre_fwd, _stripe_pre_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scan_len", "shift", "serving", "vert_p", "interpret", "recur_bf16",
+    ),
+)
+def nss_scan_stripe_pre(
+    xp: jnp.ndarray,  # (B, H, W, Dp) pre-padded post-dwconv activations
+    xpT: jnp.ndarray,  # (B, W, H, Dp) its (0, 2, 1, 3) transpose
+    x_proj_w: jnp.ndarray,
+    dt_w: jnp.ndarray,
+    A: jnp.ndarray,
+    D: jnp.ndarray,
+    delta_bias: jnp.ndarray,
+    scan_len: int = 4,
+    shift: bool = False,
+    serving: bool = False,
+    vert_p: int = 16,
+    interpret: bool = False,
+    recur_bf16: bool = False,
+):
+    """nss_scan_stripe on operands already padded/transposed by the fused
+    prologue (tpuir/ops/nss_prologue.py) — skips the XLA pad + transpose
+    round trip. Same returns/contract as nss_scan_stripe."""
+    B, H, W, Dp = xp.shape
+    if H != W:
+        raise ValueError(f"stripe kernel requires square input; got {H}x{W}")
+    if xpT.shape != (B, W, H, Dp):
+        raise ValueError(f"xpT must be the (0,2,1,3) transpose of xp; got {xpT.shape}")
+    if H % scan_len or H % 2:
+        raise ValueError(f"H must be an even multiple of scan_len; got {H}")
+    return _stripe_pre_vjp(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
+                           scan_len, shift, serving, vert_p, interpret,
+                           recur_bf16)
 
 
 @functools.partial(

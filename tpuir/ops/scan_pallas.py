@@ -276,6 +276,10 @@ def _make_fused_kernel_vert(chunk: int, n: int, r: int, d_tile: int,
             return jax.lax.dot_general(
                 x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                 (dims, ((), ())), preferred_element_type=jnp.float32,
+                # explicit DEFAULT: an outer default_matmul_precision
+                # ("float32") pin (engine parity mode) must not force
+                # HIGHEST onto bf16 operands (Mosaic: "Bad lhs type")
+                precision=jax.lax.Precision.DEFAULT,
             )
     else:
         def _proj(x, w, dims):
