@@ -34,15 +34,23 @@ from tpuir.ops.selective_scan import selective_scan
 
 
 class TorchLayerNorm(nn.Module):
-    """LayerNorm over the last axis with torch parameter naming/semantics."""
+    """LayerNorm over the last axis with torch parameter naming/semantics.
+
+    ``_params`` is the (sole) compact method so fused kernels can pull the
+    raw (weight, bias) arrays without applying the layer; ``__call__``
+    routes through it."""
 
     dim: int
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def _params(self):
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return weight, bias
+
+    def __call__(self, x):
+        weight, bias = self._params()
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
@@ -243,6 +251,14 @@ class SSMixer(nn.Module):
                 io_dtype == jnp.bfloat16
                 and _os.environ.get("TPUIR_RECUR_BF16") == "1"
             )
+            # TPUIR_EPILOGUE=0 kill-switch: the fused epilogue (combine +
+            # out_norm + SiLU(z) gate + out_proj in one Pallas pass over
+            # the keep_pad buffers, tpuir/ops/nss_epilogue.py) requires
+            # the prologue's padded z.
+            use_epilogue = (
+                use_prologue
+                and _os.environ.get("TPUIR_EPILOGUE", "1") != "0"
+            )
             if use_prologue:
                 from tpuir.ops.nss_stripe import nss_scan_stripe_pre
 
@@ -251,7 +267,7 @@ class SSMixer(nn.Module):
                     -jnp.exp(A_logs.astype(jnp.float32)), Ds, dt_b,
                     scan_len=self.scan_len, shift=shift,
                     serving=(io_dtype == jnp.bfloat16), interpret=_interp,
-                    recur_bf16=_recur_bf16,
+                    recur_bf16=_recur_bf16, keep_pad=use_epilogue,
                 )
             else:
                 oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
@@ -262,10 +278,25 @@ class SSMixer(nn.Module):
                     recur_bf16=_recur_bf16,
                 )
             gates = jax.nn.sigmoid(
-                jnp.einsum("bid,doi->bod", pooled / L, gw,
+                jnp.einsum("bid,doi->bod", pooled[..., :d_inner] / L, gw,
                            precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32) + gb.T[None]
             )  # (B, K, D)
+            if use_epilogue:
+                from tpuir.ops.nss_epilogue import mixer_epilogue
+
+                ln_w, ln_b = TorchLayerNorm(d_inner, name="out_norm")._params()
+                w_out, _ = DenseParams(
+                    d_inner, self.d_model, use_bias=False, name="out_proj"
+                )()
+                out = mixer_epilogue(
+                    oL01, oR01, oL23, oR23, gates, z, ln_w, ln_b, w_out,
+                    d_inner, shift=shift, scan_len=self.scan_len,
+                    serving=(io_dtype == jnp.bfloat16), interpret=_interp,
+                )
+                return out.astype(x.dtype)
+            if use_prologue:
+                z = z[..., :d_inner]  # prologue pads z to the lane width
             y = combine_halves(
                 oL01, oR01, oL23, oR23, gates, shift, self.scan_len
             ).reshape(B, L, d_inner)

@@ -13,7 +13,8 @@ activations once and emits all three consumers directly:
   x_ = silu(dwconv3x3(xz[:Di]) + b)   (9 static-shift FMAs in VMEM)
   xp  (B, H, W, Dp)   io-dtype, channel-padded for the stripe kernel
   xpT (B, W, H, Dp)   transposed in VMEM (major-dims relayout)
-  z   (B, H, W, Di)   the gate half, untouched by the conv
+  z   (B, H, W, Dp)   the gate half, untouched by the conv (padded so
+                      the fused epilogue reads it without an XLA pad)
 
 Per mixer, HBM sees: 1 read of h + the three output writes — instead of
 ~5 intermediate round trips (measured as the bulk of the ~9.5 ms/model
@@ -87,7 +88,7 @@ def _make_kernel(RB: int, W: int, Dmp: int, Di: int, Dp: int, H: int,
         xpT_ref[0] = jnp.transpose(x_, (1, 0, 2)).astype(out_dtype)
         zz = _mm(
             h_ref[0].astype(jnp.float32).reshape(-1, Dmp), wz_ref[:]
-        ).reshape(RB, W, Di)
+        ).reshape(RB, W, Dp)
         z_ref[0] = zz.astype(out_dtype)
 
     return kernel
@@ -106,6 +107,12 @@ def _forward(h, w_in, conv_k, conv_b, d_inner, serving, interpret,
     RB = min(row_block, H)
     while H % RB:
         RB //= 2
+    # VMEM guard: the step's live set is ~(RB+2)*W*(Dmp + ~3.5*Dp) f32
+    # (input rows + xz + conv planes + outputs); keep it under ~60 MB so
+    # big images (384px: W=384, Dp=256) don't blow the 100 MB budget
+    while RB > 8 and (RB + 2) * W * (Dmp + 3.5 * Dp) * 4 > 60e6 \
+            and H % (RB // 2) == 0:
+        RB //= 2
     NR = H // RB
 
     hp = jnp.pad(h.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dmp)))
@@ -117,7 +124,7 @@ def _forward(h, w_in, conv_k, conv_b, d_inner, serving, interpret,
 
     # in_proj weight (Dm, 2*Di), torch chunk order [x_ | z]
     w_x = jnp.pad(w_in[:, :Di].astype(jnp.float32), ((0, dmp), (0, dp)))
-    w_z = jnp.pad(w_in[:, Di:].astype(jnp.float32), ((0, dmp), (0, 0)))
+    w_z = jnp.pad(w_in[:, Di:].astype(jnp.float32), ((0, dmp), (0, dp)))
     k9 = jnp.pad(
         conv_k.reshape(9, Di).astype(jnp.float32), ((0, 0), (0, dp))
     )
@@ -132,19 +139,19 @@ def _forward(h, w_in, conv_k, conv_b, d_inner, serving, interpret,
             pl.BlockSpec((1, RB, W, Dmp), lambda b, r: (b, r, 0, 0)),
             pl.BlockSpec((1, 1, 2, W, Dmp), lambda b, r: (b, r, 0, 0, 0)),
             const((Dmp, Dp)),
-            const((Dmp, Di)),
+            const((Dmp, Dp)),
             const((9, Dp)),
             const((1, 1, Dp)),
         ],
         out_specs=(
             pl.BlockSpec((1, RB, W, Dp), lambda b, r: (b, r, 0, 0)),
             pl.BlockSpec((1, W, RB, Dp), lambda b, r: (b, 0, r, 0)),
-            pl.BlockSpec((1, RB, W, Di), lambda b, r: (b, r, 0, 0)),
+            pl.BlockSpec((1, RB, W, Dp), lambda b, r: (b, r, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, W, Dp), io_dtype),
             jax.ShapeDtypeStruct((B, W, H, Dp), io_dtype),
-            jax.ShapeDtypeStruct((B, H, W, Di), io_dtype),
+            jax.ShapeDtypeStruct((B, H, W, Dp), io_dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -170,7 +177,8 @@ def _reference(h, w_in, conv_k, conv_b, d_inner):
     ) + conv_b.astype(jnp.float32)
     x_ = x_ * jax.nn.sigmoid(x_)
     xp = jnp.pad(x_, ((0, 0), (0, 0), (0, 0), (0, dp)))
-    return xp, jnp.transpose(xp, (0, 2, 1, 3)), z
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (0, dp)))
+    return xp, jnp.transpose(xp, (0, 2, 1, 3)), zp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -215,9 +223,10 @@ def mixer_prologue(
     interpret: bool = False,
     row_block: int = 64,
 ):
-    """Returns (xp (B,H,W,Dp), xpT (B,W,H,Dp), z (B,H,W,d_inner)) with
+    """Returns (xp (B,H,W,Dp), xpT (B,W,H,Dp), z (B,H,W,Dp)) with
     Dp = d_inner padded to the lane size — exactly the operands
-    nss_scan_stripe's ``pre`` path consumes, plus the gate half."""
+    nss_scan_stripe's ``pre`` path consumes, plus the gate half (padded
+    channels zero)."""
     if h.ndim != 4:
         raise ValueError(f"expected (B,H,W,C) input; got {h.shape}")
     if w_in.shape[-1] != 2 * d_inner:

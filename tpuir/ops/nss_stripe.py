@@ -367,7 +367,7 @@ def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
 
 def _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                   scan_len, shift, serving, vert_p, interpret,
-                  recur_bf16=False):
+                  recur_bf16=False, keep_pad=False):
     """Kernel launch on pre-padded operands: xp (B, H, W, Dp) in io dtype,
     xpT its (0, 2, 1, 3) transpose. ``d`` (the real channel count) comes
     from x_proj_w."""
@@ -489,6 +489,10 @@ def _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
         wxp, wdt, A_p, D_p, bias_p,
     )
     pooled = jnp.concatenate([pool01[:, :, 0], pool23[:, :, 0]], axis=1)
+    if keep_pad:
+        # epilogue path: hand the padded buffers straight to the fused
+        # epilogue kernel (an XLA slice here would materialize 4 copies)
+        return oL01, oR01, oL23, oR23, pooled
     return (oL01[..., :d], oR01[..., :d], oL23[..., :d], oR23[..., :d],
             pooled[..., :d])
 
@@ -620,26 +624,26 @@ def _reference_pre(xp, xpT, x_proj_w, dt_w, A, D, delta_bias, scan_len,
     return y, pooled
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _stripe_pre_vjp(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                     scan_len, shift, serving, vert_p, interpret,
-                    recur_bf16):
+                    recur_bf16, keep_pad):
     return _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                          scan_len, shift, serving, vert_p, interpret,
-                         recur_bf16)
+                         recur_bf16, keep_pad)
 
 
 def _stripe_pre_fwd(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                     scan_len, shift, serving, vert_p, interpret,
-                    recur_bf16):
+                    recur_bf16, keep_pad):
     out = _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                         scan_len, shift, serving, vert_p, interpret,
-                        recur_bf16)
+                        recur_bf16, keep_pad)
     return out, (xp, xpT, x_proj_w, dt_w, A, D, delta_bias)
 
 
 def _stripe_pre_bwd(scan_len, shift, serving, vert_p, interpret,
-                    recur_bf16, res, g):
+                    recur_bf16, keep_pad, res, g):
     xp, xpT, wxp, wdt, A, D, bias = res
     goL01, goR01, goL23, goR23, gpool = [t.astype(jnp.float32) for t in g]
     W = xp.shape[2]
@@ -650,6 +654,7 @@ def _stripe_pre_bwd(scan_len, shift, serving, vert_p, interpret,
     gy = jnp.concatenate([gy01, gy23], axis=1)  # (B, 4, H, W, d+pad)
     d = wxp.shape[-1]
     gy = gy[..., :d]
+    gpool = gpool[..., :d]
 
     def ref(xp, xpT, wxp, wdt, A, D, bias):
         return _reference_pre(xp, xpT, wxp, wdt, A, D, bias, scan_len,
@@ -666,6 +671,7 @@ _stripe_pre_vjp.defvjp(_stripe_pre_fwd, _stripe_pre_bwd)
     jax.jit,
     static_argnames=(
         "scan_len", "shift", "serving", "vert_p", "interpret", "recur_bf16",
+        "keep_pad",
     ),
 )
 def nss_scan_stripe_pre(
@@ -682,10 +688,13 @@ def nss_scan_stripe_pre(
     vert_p: int = 16,
     interpret: bool = False,
     recur_bf16: bool = False,
+    keep_pad: bool = False,
 ):
     """nss_scan_stripe on operands already padded/transposed by the fused
     prologue (tpuir/ops/nss_prologue.py) — skips the XLA pad + transpose
-    round trip. Same returns/contract as nss_scan_stripe."""
+    round trip. Same returns/contract as nss_scan_stripe; with
+    ``keep_pad`` the buffers/pooled keep the padded channel width (for
+    the fused epilogue, which slices nothing)."""
     B, H, W, Dp = xp.shape
     if H != W:
         raise ValueError(f"stripe kernel requires square input; got {H}x{W}")
@@ -695,7 +704,7 @@ def nss_scan_stripe_pre(
         raise ValueError(f"H must be an even multiple of scan_len; got {H}")
     return _stripe_pre_vjp(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                            scan_len, shift, serving, vert_p, interpret,
-                           recur_bf16)
+                           recur_bf16, keep_pad)
 
 
 @functools.partial(
