@@ -38,11 +38,14 @@ rest = Restormer()
 rp = rest.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
 x8 = jnp.asarray(rng.rand(8, 256, 256, 3), jnp.float32)
 
-for rt in (16, 32, 48, 64):
+for rt, bi in ((16, False), (32, False), (48, False), (64, False),
+               (16, True), (8, True), (32, True)):
     fn = restormer_fused.make_apply_fn(
-        ln_bias=True, mm_bf16=True, row_tile=rt, io_bf16=True, fast_gelu=True)
+        ln_bias=True, mm_bf16=True, row_tile=rt, io_bf16=True,
+        fast_gelu=True, batch_inner=bi)
     try:
-        timeit(f"Restormer@256 b=8 serving row_tile={rt}", fn, x8, rp)
+        timeit(f"Restormer@256 b=8 serving row_tile={rt} batch_inner={bi}",
+               lambda q, pp, fn=fn: fn(pp, q), x8, rp)
     except Exception as e:
-        print(f"row_tile={rt} failed: {type(e).__name__}: {str(e)[:140]}",
-              flush=True)
+        print(f"row_tile={rt} bi={bi} failed: "
+              f"{type(e).__name__}: {str(e)[:140]}", flush=True)

@@ -1,5 +1,7 @@
 #!/bin/bash
 # Round-3 TPU measurement battery. Run from the repo root when the TPU
+# SUPERSEDED by run_r4_battery.sh (set -euo pipefail, loud stage failures);
+# kept for the round-3 record. Stage scripts are the committed benchmarks/*.py.
 # tunnel is healthy; each stage appends to benchmarks/r3_battery.log and
 # refreshes the committed JSON artifacts.
 set -x
@@ -7,11 +9,11 @@ cd "$(dirname "$0")/.."
 LOG=benchmarks/r3_battery.log
 {
   echo "=== $(date -u) A/B: stripe vs take @128 (MaIR + MaIRUNet) ==="
-  timeout 3600 python /tmp/ab_stripe.py 2>&1 | grep -v WARN | tail -8
+  timeout 3600 python benchmarks/ab_stripe.py 2>&1 | grep -v WARN | tail -8
   echo "=== $(date -u) MaIR rest-bucket decomposition ==="
-  timeout 3600 python /tmp/decomp_mair2.py 2>&1 | grep -v WARN | tail -10
+  timeout 3600 python benchmarks/decomp_mair2.py 2>&1 | grep -v WARN | tail -10
   echo "=== $(date -u) large shapes @384 ==="
-  timeout 5400 python /tmp/large_stripe.py 2>&1 | grep -v WARN | tail -6
+  timeout 5400 python benchmarks/large_stripe.py 2>&1 | grep -v WARN | tail -6
   echo "=== $(date -u) benchmark_all (writes benchmarks/results.json) ==="
   timeout 7200 python scripts/benchmark_all.py 2>&1 | grep -v WARN | tail -30
   echo "=== $(date -u) benchmark_all --large ==="

@@ -47,8 +47,14 @@ def cases(large=False):
     rows = [
         ("REDNet@128 parity", REDNet(), None, 1, 128, "f32", 1),
         ("REDNet@128 serving", REDNet(), None, 1, 128, "default", 1),
+        # b=8 = the engine's default patch-batch regime (engine.py
+        # batch_size=8) — the per-image rows understate the conv models,
+        # which are pipeline-bound at b=1
+        ("REDNet@128 serving b=8", REDNet(), None, 1, 128, "default", 8),
         ("DnCNN@256 parity", DnCNN(1, 1, 64, 17), None, 1, 256, "f32", 1),
         ("DnCNN@256 serving", DnCNN(1, 1, 64, 17), None, 1, 256, "default", 1),
+        ("DnCNN@256 serving b=8", DnCNN(1, 1, 64, 17), None, 1, 256,
+         "default", 8),
         ("Restormer@256 parity (fused)", Restormer(), fused_parity, 3, 256, "f32", 1),
         ("Restormer@256 serving (fused bf16)", Restormer(), fused_serving, 3, 256,
          "default", 1),

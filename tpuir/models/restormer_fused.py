@@ -38,7 +38,7 @@ def _conv(p, x, stride=1, groups=1):
     static_argnames=(
         "num_blocks", "num_refinement_blocks", "heads", "ln_bias",
         "dual_pixel_task", "row_tile", "mm_bf16", "io_bf16", "fast_gelu",
-        "lane_pack", "interpret",
+        "lane_pack", "batch_inner", "interpret",
     ),
 )
 def apply(
@@ -54,6 +54,7 @@ def apply(
     io_bf16: bool = False,
     fast_gelu: bool = False,
     lane_pack: int = 1,
+    batch_inner: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     p = params["params"] if "params" in params else params
@@ -76,7 +77,7 @@ def apply(
             h = fused_transformer_block(
                 h, p[f"{stage}_{i}"], n_heads, ln_bias,
                 row_tile=rt, mm_bf16=mm_bf16, fast_gelu=fast_gelu,
-                lane_pack=pk, interpret=interpret,
+                lane_pack=pk, batch_inner=batch_inner, interpret=interpret,
             )
         return h
 
@@ -119,7 +120,7 @@ def apply(
 def make_apply_fn(
     ln_bias: bool, dual_pixel_task: bool = False, row_tile: int = 8,
     mm_bf16: bool = False, io_bf16: bool = False, fast_gelu: bool = False,
-    lane_pack: int = 1, interpret: bool = False,
+    lane_pack: int = 1, batch_inner: bool = False, interpret: bool = False,
     **config,
 ):
     """apply_fn(params, x) for the engine's InferenceModel.
@@ -132,7 +133,8 @@ def make_apply_fn(
         return apply(
             params, x, ln_bias=ln_bias, dual_pixel_task=dual_pixel_task,
             row_tile=row_tile, mm_bf16=mm_bf16, io_bf16=io_bf16,
-            fast_gelu=fast_gelu, lane_pack=lane_pack, interpret=interpret,
+            fast_gelu=fast_gelu, lane_pack=lane_pack,
+            batch_inner=batch_inner, interpret=interpret,
             **config,
         )
 

@@ -136,7 +136,8 @@ def _dwconv(t, w9):
 
 def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                  H_real: int, ln_bias: bool, out_dtype, mm_bf16: bool,
-                 fast_gelu: bool = False, pack: int = 1):
+                 fast_gelu: bool = False, pack: int = 1,
+                 batch_inner: bool = False):
     """``C``/``hidden`` are PER-IMAGE sizes; with ``pack`` > 1 the kernel
     operates on ``pack`` images side by side in the lane dim (Ck = pack*C
     lanes) against block-diagonal weights — one MXU/VPU pass covers all
@@ -175,31 +176,47 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
     def kernel(x_ref, w_qk, dw_qk, w_v, dw_v, temp, w_proj, ln1, ln2, w_fin,
                dw_fin, w_fout, out_ref, prev_tile, pp_rows, g_acc, qs_acc,
                ks_acc, attn):
-        ph = pl.program_id(1)
-        rt = pl.program_id(2)
-        n_rt = pl.num_programs(2)  # = n_tiles + 1 (one-tile lag)
+        # batch_inner: grid (2, n_rt, Bk) — consecutive steps process
+        # DIFFERENT images, so the ring/stat dependency sits Bk steps
+        # apart and Mosaic could in principle overlap image b's MXU work
+        # with image b''s VPU chain (per-image scratch slots). Measured
+        # perf-NEUTRAL on v5e (83.4 vs 83.5 ms, Restormer@256 b=8):
+        # Mosaic executes grid steps serially and only pipelines the
+        # copies, so within-step MXU+VPU serialization is structural.
+        # Kept as a tested option; default: batch-outer grid
+        # (Bk, 2, n_rt), slot 0.
+        if batch_inner:
+            ph = pl.program_id(0)
+            rt = pl.program_id(1)
+            sl = pl.program_id(2)
+            n_rt = pl.num_programs(1)  # = n_tiles + 1 (one-tile lag)
+        else:
+            ph = pl.program_id(1)
+            rt = pl.program_id(2)
+            sl = 0
+            n_rt = pl.num_programs(2)  # = n_tiles + 1 (one-tile lag)
 
         fresh = x_ref[0].astype(jnp.float32)  # tile rt (clamped at the end)
 
         @pl.when(rt == 0)
         def _seed():
             # top halo of tile 0 is the conv zero padding
-            pp_rows[:] = jnp.zeros_like(pp_rows)
-            prev_tile[:] = fresh.astype(prev_tile.dtype)
+            pp_rows[sl] = jnp.zeros_like(pp_rows[sl])
+            prev_tile[sl] = fresh.astype(prev_tile.dtype)
 
         @pl.when(jnp.logical_and(ph == 0, rt == 0))
         def _reset():
-            g_acc[:] = jnp.zeros_like(g_acc)
-            qs_acc[:] = jnp.zeros_like(qs_acc)
-            ks_acc[:] = jnp.zeros_like(ks_acc)
+            g_acc[sl] = jnp.zeros_like(g_acc[sl])
+            qs_acc[sl] = jnp.zeros_like(qs_acc[sl])
+            ks_acc[sl] = jnp.zeros_like(ks_acc[sl])
 
         @pl.when(rt > 0)
         def _compute():
             T = rt - 1  # output tile index
             bot = jnp.where(rt == n_rt - 1, 0.0, 1.0) * fresh[:2]
             x_t = jnp.concatenate(
-                [pp_rows[:].astype(jnp.float32),
-                 prev_tile[:].astype(jnp.float32), bot], axis=0
+                [pp_rows[sl].astype(jnp.float32),
+                 prev_tile[sl].astype(jnp.float32), bot], axis=0
             )  # (RT+4, W, Ck); row j <-> real row T*RT + j - 2
 
             y = _lnrm(x_t, ln1[0], ln1[1])
@@ -232,38 +249,38 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                     for h in range(heads):
                         qh = qf[:, h * hc : (h + 1) * hc]
                         kh = kf[:, h * hc : (h + 1) * hc]
-                        g_acc[h] += _mm(qh, kh, ((0,), (0,)))
-                        qs_acc[h] += jnp.sum(qh * qh, axis=0, keepdims=True)
-                        ks_acc[h] += jnp.sum(kh * kh, axis=0, keepdims=True)
+                        g_acc[sl, h] += _mm(qh, kh, ((0,), (0,)))
+                        qs_acc[sl, h] += jnp.sum(qh * qh, axis=0, keepdims=True)
+                        ks_acc[sl, h] += jnp.sum(kh * kh, axis=0, keepdims=True)
                 else:
                     # one full Ck x Ck Gram holds every (image, head) diag
                     # block at once (cross-image/head blocks are unused)
-                    g_acc[0] += _mm(qf, kf, ((0,), (0,)))
-                    qs_acc[0] += jnp.sum(qf * qf, axis=0, keepdims=True)
-                    ks_acc[0] += jnp.sum(kf * kf, axis=0, keepdims=True)
+                    g_acc[sl, 0] += _mm(qf, kf, ((0,), (0,)))
+                    qs_acc[sl, 0] += jnp.sum(qf * qf, axis=0, keepdims=True)
+                    ks_acc[sl, 0] += jnp.sum(kf * kf, axis=0, keepdims=True)
 
             @pl.when(jnp.logical_and(ph == 0, rt == n_rt - 1))
             def _finalize():
                 if pack == 1:
                     for h in range(heads):
-                        qn = jnp.maximum(jnp.sqrt(qs_acc[h][0]), 1e-12)
-                        kn = jnp.maximum(jnp.sqrt(ks_acc[h][0]), 1e-12)
-                        logits = g_acc[h] / qn[:, None] / kn[None, :] * temp[0, h]
-                        attn[h] = jax.nn.softmax(logits, axis=-1)
+                        qn = jnp.maximum(jnp.sqrt(qs_acc[sl, h][0]), 1e-12)
+                        kn = jnp.maximum(jnp.sqrt(ks_acc[sl, h][0]), 1e-12)
+                        logits = g_acc[sl, h] / qn[:, None] / kn[None, :] * temp[0, h]
+                        attn[sl, h] = jax.nn.softmax(logits, axis=-1)
                 else:
-                    qn = jnp.maximum(jnp.sqrt(qs_acc[0][0]), 1e-12)
-                    kn = jnp.maximum(jnp.sqrt(ks_acc[0][0]), 1e-12)
-                    attn[0] = jnp.zeros((Ck, Ck), jnp.float32)
+                    qn = jnp.maximum(jnp.sqrt(qs_acc[sl, 0][0]), 1e-12)
+                    kn = jnp.maximum(jnp.sqrt(ks_acc[sl, 0][0]), 1e-12)
+                    attn[sl, 0] = jnp.zeros((Ck, Ck), jnp.float32)
                     for i in range(pack):
                         for h in range(heads):
                             s = i * C + h * hc
                             e = s + hc
                             logits = (
-                                g_acc[0][s:e, s:e]
+                                g_acc[sl, 0][s:e, s:e]
                                 / qn[s:e][:, None] / kn[s:e][None, :]
                                 * temp[0, h]
                             )
-                            attn[0, s:e, s:e] = jax.nn.softmax(logits, axis=-1)
+                            attn[sl, 0, s:e, s:e] = jax.nn.softmax(logits, axis=-1)
 
             @pl.when(ph == 1)
             def _apply():
@@ -275,12 +292,12 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
                     outs = []
                     for h in range(heads):
                         vh = vf[:, h * hc : (h + 1) * hc]
-                        outs.append(_mm(vh, attn[h], ((1,), (1,))))
+                        outs.append(_mm(vh, attn[sl, h], ((1,), (1,))))
                     ao = outs[0] if heads == 1 else jnp.concatenate(outs, axis=-1)
                 else:
                     # block-diagonal attention matrix: one matmul applies
                     # every (image, head) attention at once
-                    ao = _mm(vf, attn[0], ((1,), (1,)))
+                    ao = _mm(vf, attn[sl, 0], ((1,), (1,)))
                 ao = _mm(ao, w_proj[:], ((1,), (0,))).reshape(RT + 2, W, Ck)
                 x2 = x_t[1 : RT + 3] + ao  # residual 1 (rows <-> dqk rows)
 
@@ -307,8 +324,8 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
         # advance the ring (after compute): keep tile rt and its last 2 rows
         @pl.when(rt > 0)
         def _advance():
-            pp_rows[:] = prev_tile[RT - 2 :]
-            prev_tile[:] = fresh.astype(prev_tile.dtype)
+            pp_rows[sl] = prev_tile[sl, RT - 2 :]
+            prev_tile[sl] = fresh.astype(prev_tile.dtype)
 
     return kernel
 
@@ -316,7 +333,7 @@ def _make_kernel(RT: int, W: int, C: int, heads: int, hidden: int,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "ln_bias", "row_tile", "mm_bf16", "fast_gelu",
-                     "lane_pack", "interpret"),
+                     "lane_pack", "batch_inner", "interpret"),
 )
 def fused_transformer_block(
     x: jnp.ndarray,
@@ -327,6 +344,7 @@ def fused_transformer_block(
     mm_bf16: bool = False,
     fast_gelu: bool = False,
     lane_pack: int = 1,
+    batch_inner: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x: (B, H, W, C). p holds the converted TransformerBlock params:
@@ -401,37 +419,47 @@ def fused_transformer_block(
     w_fout = _blkdiag(p["ffn"]["project_out"]["kernel"].reshape(hidden, C))
 
     kernel = _make_kernel(RT, W, C, heads, hidden, H, ln_bias, x.dtype,
-                          mm_bf16, fast_gelu, pack=pk)
+                          mm_bf16, fast_gelu, pack=pk,
+                          batch_inner=batch_inner)
     hc = C // heads
     Ck = pk * C
     hk = pk * hidden
     Bk = B // pk
     mm_dtype = jnp.bfloat16 if mm_bf16 else jnp.float32
-    vmem = lambda shape: pl.BlockSpec(shape, lambda b, ph, rt: tuple([0] * len(shape)))  # noqa: E731
+    vmem = lambda shape: pl.BlockSpec(shape, lambda g0, g1, g2: tuple([0] * len(shape)))  # noqa: E731
     n_rt = n_tiles + 1  # one-tile lag
+    # batch_inner: per-image scratch slots (consecutive grid steps touch
+    # different images; see _make_kernel)
+    SB = Bk if batch_inner else 1
     if pk == 1:
         stat_shapes = [
-            pltpu.VMEM((heads, hc, hc), jnp.float32),
-            pltpu.VMEM((heads, 1, hc), jnp.float32),
-            pltpu.VMEM((heads, 1, hc), jnp.float32),
-            pltpu.VMEM((heads, hc, hc), jnp.float32),
+            pltpu.VMEM((SB, heads, hc, hc), jnp.float32),
+            pltpu.VMEM((SB, heads, 1, hc), jnp.float32),
+            pltpu.VMEM((SB, heads, 1, hc), jnp.float32),
+            pltpu.VMEM((SB, heads, hc, hc), jnp.float32),
         ]
     else:
         stat_shapes = [
-            pltpu.VMEM((1, Ck, Ck), jnp.float32),
-            pltpu.VMEM((1, 1, Ck), jnp.float32),
-            pltpu.VMEM((1, 1, Ck), jnp.float32),
-            pltpu.VMEM((1, Ck, Ck), jnp.float32),
+            pltpu.VMEM((SB, 1, Ck, Ck), jnp.float32),
+            pltpu.VMEM((SB, 1, 1, Ck), jnp.float32),
+            pltpu.VMEM((SB, 1, 1, Ck), jnp.float32),
+            pltpu.VMEM((SB, 1, Ck, Ck), jnp.float32),
         ]
+
+    if batch_inner:
+        grid = (2, n_rt, Bk)
+        in_idx = lambda ph, rt, b: (b, jnp.minimum(rt, n_rt - 2), 0, 0)  # noqa: E731
+        out_idx = lambda ph, rt, b: (b, jnp.maximum(rt - 1, 0), 0, 0)  # noqa: E731
+    else:
+        grid = (Bk, 2, n_rt)
+        in_idx = lambda b, ph, rt: (b, jnp.minimum(rt, n_rt - 2), 0, 0)  # noqa: E731
+        out_idx = lambda b, ph, rt: (b, jnp.maximum(rt - 1, 0), 0, 0)  # noqa: E731
 
     out = pl.pallas_call(
         kernel,
-        grid=(Bk, 2, n_rt),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, RT, W, Ck),
-                lambda b, ph, rt: (b, jnp.minimum(rt, n_rt - 2), 0, 0),
-            ),
+            pl.BlockSpec((1, RT, W, Ck), in_idx),
             vmem((Ck, 2 * Ck)),
             vmem((9, 2 * Ck)),
             vmem((Ck, Ck)),
@@ -444,14 +472,11 @@ def fused_transformer_block(
             vmem((9, 2 * hk)),
             vmem((hk, Ck)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, RT, W, Ck),
-            lambda b, ph, rt: (b, jnp.maximum(rt - 1, 0), 0, 0),
-        ),
+        out_specs=pl.BlockSpec((1, RT, W, Ck), out_idx),
         out_shape=jax.ShapeDtypeStruct((Bk, Hp, W, Ck), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((RT, W, Ck), x.dtype),  # prev_tile
-            pltpu.VMEM((2, W, Ck), x.dtype),  # pp_rows
+            pltpu.VMEM((SB, RT, W, Ck), x.dtype),  # prev_tile
+            pltpu.VMEM((SB, 2, W, Ck), x.dtype),  # pp_rows
         ] + stat_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
