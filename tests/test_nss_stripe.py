@@ -58,6 +58,65 @@ def test_stripe_matches_oracle(shift, H, scan_len):
 
 
 @pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("H,W", [(8, 16), (16, 8), (8, 12), (12, 8)])
+def test_stripe_rectangular_matches_oracle(shift, H, W):
+    """H != W routes through two single-class kernel launches (one per
+    direction class — different stripe counts/lengths)."""
+    B, d, n, r, SL = 2, 6, 3, 2, 4
+    x, wxp, wdt, A, D, bias = _rand_inputs(
+        jax.random.PRNGKey(11), B, H, W, d, n, r
+    )
+    y_ref, pool_ref = _reference(x, wxp, wdt, A, D, bias, SL, shift)
+    oL01, oR01, oL23, oR23, pooled = nss_scan_stripe(
+        x, wxp, wdt, A, D, bias,
+        scan_len=SL, shift=shift, serving=False, vert_p=4, interpret=True,
+    )
+    assert oL01.shape == (B, 2, W, H, d)
+    assert oL23.shape == (B, 2, H, W, d)
+    np.testing.assert_allclose(pooled, pool_ref, rtol=2e-5, atol=2e-5)
+    for k in range(4):
+        g = jnp.zeros((B, 4, d)).at[:, k].set(1.0)
+        y_k = combine_halves(oL01, oR01, oL23, oR23, g, shift, SL)
+        np.testing.assert_allclose(
+            y_k, y_ref[:, k], rtol=2e-5, atol=2e-5,
+            err_msg=f"direction {k} shift={shift} {H}x{W}",
+        )
+
+
+@pytest.mark.parametrize("shift", [False, True])
+def test_stripe_rectangular_grad_matches_oracle(shift):
+    B, H, W, d, n, r, SL = 1, 8, 12, 4, 2, 2, 4
+    x, wxp, wdt, A, D, bias = _rand_inputs(
+        jax.random.PRNGKey(13), B, H, W, d, n, r
+    )
+    gates = jax.nn.sigmoid(
+        jax.random.normal(jax.random.PRNGKey(14), (B, 4, d))
+    )
+
+    def loss_stripe(x, wxp, wdt, A, D, bias):
+        out = nss_scan_stripe(
+            x, wxp, wdt, A, D, bias, scan_len=SL, shift=shift,
+            serving=False, vert_p=4, interpret=True,
+        )
+        y = combine_halves(*out[:4], gates, shift, SL)
+        return jnp.sum(y**2) + jnp.sum(jnp.sin(out[4]))
+
+    def loss_ref(x, wxp, wdt, A, D, bias):
+        y_ref, pool = _reference(x, wxp, wdt, A, D, bias, SL, shift)
+        y = jnp.einsum("bkhwd,bkd->bhwd", y_ref, gates)
+        return jnp.sum(y**2) + jnp.sum(jnp.sin(pool))
+
+    g1 = jax.grad(loss_stripe, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wxp, wdt, A, D, bias
+    )
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        x, wxp, wdt, A, D, bias
+    )
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("shift", [False, True])
 def test_stripe_grad_matches_oracle(shift):
     B, H, d, n, r, SL = 1, 8, 4, 2, 2, 4
     x, wxp, wdt, A, D, bias = _rand_inputs(
@@ -115,12 +174,14 @@ def test_stripe_segmented_matches_oracle(monkeypatch, shift):
 
 
 @pytest.mark.parametrize("shift", [False, True])
-def test_ssmixer_stripe_branch_matches_xla(monkeypatch, shift):
+@pytest.mark.parametrize("H,W", [(8, 8), (8, 12)])
+def test_ssmixer_stripe_branch_matches_xla(monkeypatch, shift, H, W):
     """Drive SSMixer through the production stripe branch (interpret mode
-    on CPU) and compare with the XLA gather path."""
+    on CPU, square and rectangular) and compare with the XLA gather
+    path."""
     from tpuir.models.mair import SSMixer, scan_ids_for
 
-    B, H, W, dm = 1, 8, 8, 4
+    B, dm = 1, 4
     mixer = SSMixer(d_model=dm, d_state=2, expand=2.0, scan_len=4)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, dm), jnp.float32)
     ids, shift_ids = scan_ids_for(H, W, 4)

@@ -207,7 +207,8 @@ class SSMixer(nn.Module):
             and W % self.scan_len == 0
         )
         stripe_ok = (
-            _pallas_ok and _nss_mode == "stripe" and H == W and H % 2 == 0
+            _pallas_ok and _nss_mode == "stripe"
+            and H % 2 == 0 and W % 2 == 0
         )
         fused_ok = _pallas_ok and not stripe_ok and _nss_mode != "0"
         # Fused prologue (tpuir/ops/nss_prologue.py): in_proj + dwconv +

@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -82,16 +83,24 @@ def _serpentine(P: int, SL: int, row_rev: bool, col_rev: bool):
 
 def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                  shift: bool, serving: bool, P: int, out_dtype,
-                 G: int = 1, recur_bf16: bool = False):
+                 G: int = 1, recur_bf16: bool = False,
+                 single: bool = False):
     """Grid (B, 2, T, G) with T = S (+1 when shifted) stripes and G row
     segments per stripe (G > 1 bounds VMEM for large images; the level-2
     carry chains across segments, whose grid order follows the stripe's
-    row direction via the segment index maps). Operands (in order):
+    row direction via the segment index maps). ``H`` is the STRIPE LENGTH
+    (the in-stripe sequence extent) — equal to the image height for the
+    column directions and the image width for the row directions; square
+    images fuse both classes into one kernel (``single=False``), while
+    rectangular images launch this kernel once per class
+    (``single=True``). Fused operands (in order):
     xTL, xTR (row blocks of x^T — the column directions' stripes), xL, xR
     (row blocks of x — the row directions' stripes), then per-pair weights
     wxp/wdt/A/D/bias for the column direction and the row direction (10
     refs), then outputs oL01, oR01 (x^T frame), oL23, oR23 (x frame),
-    pool01, pool23, then scratches.
+    pool01, pool23, then scratches. Single-class operands: xL, xR, the
+    full (4, ...) weight refs pre-sliced by the host BlockSpecs, oL, oR,
+    pool, scratches.
 
     The NSS orientation never moves data: the projections run on the
     natural block layout (order-irrelevant, per-position), and the scan
@@ -123,11 +132,8 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-    def kernel(xTL, xTR, xL, xR,
-               wxp_c, wdt_c, A_c, D_c, bias_c,
-               wxp_r, wdt_r, A_r, D_r, bias_r,
-               oL01, oR01, oL23, oR23, pool01, pool23,
-               h_carry, HA, HB, YS, SEQ, CEs):
+    def _run(dirs, scratch):
+        h_carry, HA, HB, YS, SEQ, CEs = scratch
         j = pl.program_id(1)
         t = pl.program_id(2)
         g = pl.program_id(3)
@@ -292,12 +298,28 @@ def _make_kernel(H: int, SL: int, n: int, r: int, Dp: int, S: int,
             prev = jnp.where(first, jnp.zeros_like(ps), pool[0, 0, 0:1])
             pool[0, 0] = jnp.broadcast_to(prev + ps, (8, Dp))
 
-        # column directions (k = j): stripes of x, read via x^T blocks
-        scan_dir(xTL, xTR, wxp_c, wdt_c, A_c, D_c, bias_c, 0,
-                 oL01, oR01, pool01)
-        # row directions (k = 2 + j): stripes of x^T, read via x blocks
-        scan_dir(xL, xR, wxp_r, wdt_r, A_r, D_r, bias_r, 1,
-                 oL23, oR23, pool23)
+        for args in dirs:
+            scan_dir(*args)
+
+    if single:
+        def kernel(xL, xR, wxp, wdt, A, Dd, bias, oL, oR, pool,
+                   h_carry, HA, HB, YS, SEQ, CEs):
+            _run([(xL, xR, wxp, wdt, A, Dd, bias, 0, oL, oR, pool)],
+                 (h_carry, HA, HB, YS, SEQ, CEs))
+    else:
+        def kernel(xTL, xTR, xL, xR,
+                   wxp_c, wdt_c, A_c, D_c, bias_c,
+                   wxp_r, wdt_r, A_r, D_r, bias_r,
+                   oL01, oR01, oL23, oR23, pool01, pool23,
+                   h_carry, HA, HB, YS, SEQ, CEs):
+            # column directions (k = j): stripes of x, read via x^T
+            # blocks; row directions (k = 2 + j): stripes of x^T, read
+            # via x blocks — back to back, sharing the scan scratch
+            _run([(xTL, xTR, wxp_c, wdt_c, A_c, D_c, bias_c, 0,
+                   oL01, oR01, pool01),
+                  (xL, xR, wxp_r, wdt_r, A_r, D_r, bias_r, 1,
+                   oL23, oR23, pool23)],
+                 (h_carry, HA, HB, YS, SEQ, CEs))
 
     return kernel
 
@@ -351,11 +373,105 @@ def _block_maps(S: int, shift: bool):
     return Lmap, Rmap
 
 
+def _seg_params(Cols: int, SL: int, n: int, Dp: int, vert_p: int):
+    """(rp, P, G) for a stripe of length ``Cols``: rows-per-subchunk
+    (even, divides Cols, near vert_p // SL), subchunk length, and the
+    VMEM-bounding segment count."""
+    rp = max(2, (vert_p // SL) // 2 * 2)
+    while Cols % rp:
+        rp -= 2
+    P = rp * SL
+    seg_limit = int(
+        _os.environ.get("TPUIR_STRIPE_SEG_BYTES", 32 * 1024 * 1024)
+    )
+    G = 1
+    while (Cols // G) * SL * n * Dp * 8 > seg_limit and \
+            Cols % (G * 2) == 0 and (Cols // (G * 2)) % rp == 0:
+        G *= 2
+    return rp, P, G
+
+
+def _launch_single(ximg, wxp, wdt, A_p, D_p, bias_p, *, SL, n, r, Dp,
+                   shift, serving, vert_p, interpret, recur_bf16,
+                   out_dtype, io_dtype, koff):
+    """One direction class on a rectangular image: ``ximg`` is
+    (B, Rows, Cols, Dp) with stripes along Rows (width SL) and the scan
+    sequence along Cols — x^T for the column directions (koff=0), x for
+    the row directions (koff=2). Returns (oL, oR, pool) in the ximg
+    frame."""
+    B, Rows, Cols, _ = ximg.shape
+    half = SL // 2
+    S = Rows // SL
+    rp, P, G = _seg_params(Cols, SL, n, Dp, vert_p)
+    Cseg = Cols // G
+    chunk = Cseg * SL
+    S_ = chunk // P
+    T = S + 1 if shift else S
+    Lmap, Rmap = _block_maps(S, shift)
+
+    if shift:
+        def _vflip(t):
+            mids = (t - 1) % 2 == 0
+            return jnp.where(
+                t == 0, False, jnp.where(t == S, (S - 1) % 2 == 0, mids)
+            )
+    else:
+        def _vflip(t):
+            return t % 2 == 1
+
+    def segmap(t, j, g):
+        rev = jnp.logical_xor(j == 1, _vflip(t))
+        return jnp.where(rev, G - 1 - g, g)
+
+    row_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, half, Cseg, Dp), lambda b, j, t, g: (b, f(t, j), segmap(t, j, g), 0)
+    )
+    wspec = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda b, j, t, g: (j + koff, 0, 0)
+    )
+    out_spec = lambda f: pl.BlockSpec(  # noqa: E731
+        (1, 1, half, Cseg, Dp),
+        lambda b, j, t, g: (b, j, f(t, j), segmap(t, j, g), 0),
+    )
+    pool_spec = pl.BlockSpec((1, 1, 8, Dp), lambda b, j, t, g: (b, j, 0, 0))
+
+    recur_dtype = jnp.bfloat16 if recur_bf16 else jnp.float32
+    kernel = _make_kernel(Cols, SL, n, r, Dp, S, shift, serving, P,
+                          out_dtype, G=G, recur_bf16=recur_bf16,
+                          single=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, 2, T, G),
+        in_specs=[
+            row_spec(Lmap), row_spec(Rmap),
+            wspec((r + 2 * n, Dp)), wspec((Dp, r)),
+            wspec((n, Dp)), wspec((1, Dp)), wspec((1, Dp)),
+        ],
+        out_specs=(out_spec(Lmap), out_spec(Rmap), pool_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, Rows, Cols, Dp), out_dtype),
+            jax.ShapeDtypeStruct((B, 2, Rows, Cols, Dp), out_dtype),
+            jax.ShapeDtypeStruct((B, 2, 8, Dp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n, Dp), jnp.float32),
+            pltpu.VMEM((S_, P, n, Dp), recur_dtype),
+            pltpu.VMEM((S_, P, n, Dp), recur_dtype),
+            pltpu.VMEM((SL, S_, rp, Dp), jnp.float32),
+            pltpu.VMEM((S_, P, Dp), io_dtype),
+            pltpu.VMEM((S_, n, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ximg, ximg, wxp, wdt, A_p, D_p, bias_p)
+
+
 def _forward(x, x_proj_w, dt_w, A, D, delta_bias,
              scan_len, shift, serving, vert_p, interpret,
              recur_bf16=False):
     B, H, W, d = x.shape
-    assert H == W, "stripe kernel requires square patches"
     dp = (-d) % 128
     io_dtype = jnp.bfloat16 if serving else jnp.float32
     xp = jnp.pad(x.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dp)))
@@ -370,9 +486,11 @@ def _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                   recur_bf16=False, keep_pad=False):
     """Kernel launch on pre-padded operands: xp (B, H, W, Dp) in io dtype,
     xpT its (0, 2, 1, 3) transpose. ``d`` (the real channel count) comes
-    from x_proj_w."""
+    from x_proj_w. Square images fuse both direction classes into one
+    kernel; rectangular images launch the single-class kernel twice (the
+    two classes have different stripe counts/lengths, so their grids
+    cannot share index maps)."""
     B, H, W, Dp = xp.shape
-    assert H == W, "stripe kernel requires square patches"
     SL = scan_len
     half = SL // 2
     S = W // SL
@@ -392,24 +510,30 @@ def _forward_core(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
     D_p = jnp.pad(D.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
     bias_p = jnp.pad(delta_bias.astype(jnp.float32), ((0, 0), (0, dp)))[:, None, :]
 
-    # rows-per-subchunk: even (so boustrophedon parity is static across
-    # subchunks), divides H, as close to vert_p // SL as possible
-    rp = max(2, (vert_p // SL) // 2 * 2)
-    while H % rp:
-        rp -= 2
-    P = rp * SL
-    # segments per stripe: bound the scan working set (HA/HB scratch is
-    # chunk*n*Dp f32 each) so big images don't blow VMEM; segment rows
-    # stay a multiple of rp
-    import os as _os
+    if H != W:
+        common = dict(SL=SL, n=n, r=r, Dp=Dp, shift=shift, serving=serving,
+                      vert_p=vert_p, interpret=interpret,
+                      recur_bf16=recur_bf16, out_dtype=out_dtype,
+                      io_dtype=io_dtype)
+        # column directions: stripes along the image width (x^T rows),
+        # sequence along the image height
+        oL01, oR01, pool01 = _launch_single(
+            xpT, wxp, wdt, A_p, D_p, bias_p, koff=0, **common)
+        # row directions: stripes along the height, sequence along width
+        oL23, oR23, pool23 = _launch_single(
+            xp, wxp, wdt, A_p, D_p, bias_p, koff=2, **common)
+        pooled = jnp.concatenate(
+            [pool01[:, :, 0], pool23[:, :, 0]], axis=1)
+        if keep_pad:
+            return oL01, oR01, oL23, oR23, pooled
+        return (oL01[..., :d], oR01[..., :d], oL23[..., :d],
+                oR23[..., :d], pooled[..., :d])
 
-    seg_limit = int(
-        _os.environ.get("TPUIR_STRIPE_SEG_BYTES", 32 * 1024 * 1024)
-    )
-    G = 1
-    while (H // G) * SL * n * Dp * 8 > seg_limit and \
-            H % (G * 2) == 0 and (H // (G * 2)) % rp == 0:
-        G *= 2
+    # rows-per-subchunk: even (so boustrophedon parity is static across
+    # subchunks), divides H, as close to vert_p // SL as possible; G
+    # segments per stripe bound the scan working set (HA/HB scratch is
+    # chunk*n*Dp f32 each) so big images don't blow VMEM
+    rp, P, G = _seg_params(H, SL, n, Dp, vert_p)
     Hseg = H // G
     chunk = Hseg * SL
     S_ = chunk // P
@@ -520,21 +644,29 @@ def _half_block_masks(W: int, shift: bool, scan_len: int):
     return fwd, rot
 
 
+def _class_sel(X: int, shift: bool, scan_len: int):
+    """(1, 2, X, 1, 1) broadcastable L-vs-R select over one direction
+    class's stripe-index axis of length ``X``."""
+    fwd, rot = _half_block_masks(X, shift, scan_len)
+    return jnp.stack([fwd, rot])[None, :, :, None, None]
+
+
 def combine_halves(oL01, oR01, oL23, oR23, gates, shift: bool,
                    scan_len: int):
     """Gated 4-direction sum from the kernel's half-split outputs.
     oL01/oR01 arrive in the x^T frame, oL23/oR23 in the x frame; the
     half-parity select is elementwise and the x^T un-transpose is a
-    major-dims relayout XLA fuses into the weighted sum."""
-    B, _, H, W, d = oL23.shape
-    fwd, rot = _half_block_masks(W, shift, scan_len)
-    # valid half-blocks run along the first spatial axis of each buffer
-    sel = jnp.stack([fwd, rot])[None, :, :, None, None]  # (1, 2, X, 1, 1)
+    major-dims relayout XLA fuses into the weighted sum. The valid
+    half-blocks run along the first spatial (stripe-index) axis of each
+    buffer — image width for the 01 class, height for 23 (equal when
+    square)."""
+    sel01 = _class_sel(oL01.shape[2], shift, scan_len)
+    sel23 = _class_sel(oL23.shape[2], shift, scan_len)
 
     g = gates[:, :, None, None, :].astype(jnp.float32)  # (B, K, 1, 1, D)
-    y01T = jnp.where(sel, oL01.astype(jnp.float32), oR01.astype(jnp.float32))
+    y01T = jnp.where(sel01, oL01.astype(jnp.float32), oR01.astype(jnp.float32))
     y01 = jnp.transpose(y01T, (0, 1, 3, 2, 4))  # x^T -> x frame
-    y23 = jnp.where(sel, oL23.astype(jnp.float32), oR23.astype(jnp.float32))
+    y23 = jnp.where(sel23, oL23.astype(jnp.float32), oR23.astype(jnp.float32))
     return (y01[:, 0] * g[:, 0] + y01[:, 1] * g[:, 1]
             + y23[:, 0] * g[:, 2] + y23[:, 1] * g[:, 3])
 
@@ -590,11 +722,10 @@ def _stripe_bwd(scan_len, shift, serving, vert_p, interpret, recur_bf16,
     goL01, goR01, goL23, goR23, gpool = [
         t.astype(jnp.float32) for t in g
     ]
-    W = x.shape[2]
-    fwd, rot = _half_block_masks(W, shift, scan_len)
-    sel = jnp.stack([fwd, rot])[None, :, :, None, None]
-    gy01 = jnp.transpose(jnp.where(sel, goL01, goR01), (0, 1, 3, 2, 4))
-    gy23 = jnp.where(sel, goL23, goR23)
+    sel01 = _class_sel(x.shape[2], shift, scan_len)
+    sel23 = _class_sel(x.shape[1], shift, scan_len)
+    gy01 = jnp.transpose(jnp.where(sel01, goL01, goR01), (0, 1, 3, 2, 4))
+    gy23 = jnp.where(sel23, goL23, goR23)
     gy = jnp.concatenate([gy01, gy23], axis=1)  # (B, 4, H, W, d)
 
     def ref(x, wxp, wdt, A, D, bias):
@@ -646,11 +777,10 @@ def _stripe_pre_bwd(scan_len, shift, serving, vert_p, interpret,
                     recur_bf16, keep_pad, res, g):
     xp, xpT, wxp, wdt, A, D, bias = res
     goL01, goR01, goL23, goR23, gpool = [t.astype(jnp.float32) for t in g]
-    W = xp.shape[2]
-    fwd, rot = _half_block_masks(W, shift, scan_len)
-    sel = jnp.stack([fwd, rot])[None, :, :, None, None]
-    gy01 = jnp.transpose(jnp.where(sel, goL01, goR01), (0, 1, 3, 2, 4))
-    gy23 = jnp.where(sel, goL23, goR23)
+    sel01 = _class_sel(xp.shape[2], shift, scan_len)
+    sel23 = _class_sel(xp.shape[1], shift, scan_len)
+    gy01 = jnp.transpose(jnp.where(sel01, goL01, goR01), (0, 1, 3, 2, 4))
+    gy23 = jnp.where(sel23, goL23, goR23)
     gy = jnp.concatenate([gy01, gy23], axis=1)  # (B, 4, H, W, d+pad)
     d = wxp.shape[-1]
     gy = gy[..., :d]
@@ -696,12 +826,11 @@ def nss_scan_stripe_pre(
     ``keep_pad`` the buffers/pooled keep the padded channel width (for
     the fused epilogue, which slices nothing)."""
     B, H, W, Dp = xp.shape
-    if H != W:
-        raise ValueError(f"stripe kernel requires square input; got {H}x{W}")
     if xpT.shape != (B, W, H, Dp):
         raise ValueError(f"xpT must be the (0,2,1,3) transpose of xp; got {xpT.shape}")
-    if H % scan_len or H % 2:
-        raise ValueError(f"H must be an even multiple of scan_len; got {H}")
+    if H % scan_len or W % scan_len or H % 2 or W % 2:
+        raise ValueError(
+            f"H and W must be even multiples of scan_len; got {H}x{W}")
     return _stripe_pre_vjp(xp, xpT, x_proj_w, dt_w, A, D, delta_bias,
                            scan_len, shift, serving, vert_p, interpret,
                            recur_bf16, keep_pad)
@@ -743,12 +872,9 @@ def nss_scan_stripe(
     B, H, W, d = x.shape
     if scan_len % 4 != 0 or scan_len < 4:
         raise ValueError(f"scan_len must be a positive multiple of 4; got {scan_len}")
-    if H != W:
-        raise ValueError(f"stripe kernel requires square input; got {H}x{W}")
-    if H % scan_len:
-        raise ValueError(f"H must be a multiple of scan_len; got {H}")
-    if H % 2:
-        raise ValueError(f"H must be even; got {H}")
+    if H % scan_len or W % scan_len or H % 2 or W % 2:
+        raise ValueError(
+            f"H and W must be even multiples of scan_len; got {H}x{W}")
     if vert_p <= 0 or (vert_p & (vert_p - 1)) != 0:
         raise ValueError(f"vert_p must be a power of two; got {vert_p}")
     return _stripe_vjp(x, x_proj_w, dt_w, A, D, delta_bias,
