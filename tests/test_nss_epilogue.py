@@ -114,3 +114,17 @@ def test_ssmixer_epilogue_init_tree_unchanged(monkeypatch):
     monkeypatch.setenv("TPUIR_EPILOGUE", "1")
     t1 = jax.tree_util.tree_structure(m.init(jax.random.PRNGKey(0), x, ids))
     assert t0 == t1
+
+
+def test_pick_row_block_vmem_guard():
+    """Same regression as tests/test_nss_prologue.py: the f32 parity path
+    at the MaIR-CDN@128 shape (RB=32) measured 103.0 MB scoped VMEM vs
+    the 101.6 MB limit — the picker must back off in parity mode while
+    keeping the measured serving choice."""
+    from tpuir.ops.nss_epilogue import _pick_row_block
+
+    # serving keeps the default RB=32 at 128px (Dm=180 for MaIR-CDN)
+    assert _pick_row_block(128, 128, 256, 180, True, 32) == 32
+    # parity must back off below the OOM point
+    assert _pick_row_block(128, 128, 256, 180, False, 32) <= 16
+    assert 96 % _pick_row_block(96, 96, 256, 180, False, 32) == 0

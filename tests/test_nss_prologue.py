@@ -126,3 +126,20 @@ def test_ssmixer_prologue_init_tree_unchanged(monkeypatch):
     monkeypatch.setenv("TPUIR_PROLOGUE", "1")
     t1 = jax.tree_util.tree_structure(m.init(jax.random.PRNGKey(0), x, ids))
     assert t0 == t1
+
+
+def test_pick_row_block_vmem_guard():
+    """The row-block picker must be io-dtype-aware: at the MaIR-CDN@128
+    shape (W=128, Dmp=Dp=256) the f32 parity path at RB=64 measures
+    102.9 MB of scoped VMEM against a 101.6 MB compiler limit (remote
+    compile OOM, round 4), while bf16 serving fits. Pin the picks."""
+    from tpuir.ops.nss_prologue import _pick_row_block
+
+    # serving keeps the measured-optimal RB=64 at 128px
+    assert _pick_row_block(128, 128, 256, 256, True, 64) == 64
+    # parity must back off below the OOM point
+    assert _pick_row_block(128, 128, 256, 256, False, 64) <= 32
+    # large shapes stay at the @384-measured serving choice
+    assert _pick_row_block(384, 384, 256, 256, True, 64) == 16
+    # picker respects divisibility
+    assert 96 % _pick_row_block(96, 96, 256, 256, False, 64) == 0

@@ -115,6 +115,28 @@ def _make_kernel(RB: int, H: int, W: int, Dp: int, Di: int, Dm: int,
     return kernel
 
 
+def _pick_row_block(H, W, Dp, Dm, serving, row_block):
+    """Rows per grid step, bounded by a dtype-aware VMEM model (like
+    nss_prologue._pick_row_block): the 4 direction buffers (2 halves
+    each) + z stream in at the stripe kernel's io dtype (f32 in parity
+    mode, bf16 serving) and are pipeline double-buffered, plus ~4 f32
+    compute planes and the output rows — at 128px/RB=32 the f32 path
+    measures 103.0 MB vs a 101.6 MB limit, so the bound must scale with
+    io bytes (regression: tests/test_nss_epilogue.py)."""
+    RB = min(row_block, H)
+    while H % RB:
+        RB //= 2
+    io_b = 2 if serving else 4
+
+    def est(rb):
+        return rb * W * (Dp * (8 * io_b * 2 + io_b * 2 + 4 * 4)
+                         + Dm * io_b * 2)
+
+    while RB > 8 and est(RB) > 90e6 and H % (RB // 2) == 0:
+        RB //= 2
+    return RB
+
+
 def _forward(oL01, oR01, oL23, oR23, gates, z, ln_w, ln_b, w_out,
              d_inner, shift, scan_len, serving, interpret, row_block):
     B, _, W, H, Dp = oL01.shape
@@ -123,13 +145,7 @@ def _forward(oL01, oR01, oL23, oR23, gates, z, ln_w, ln_b, w_out,
     dp = Dp - Di
     out_dtype = jnp.float32
 
-    RB = min(row_block, H)
-    while H % RB:
-        RB //= 2
-    # step live set ~ (4 buffers * 2j + z + y) * RB * W * Dp
-    while RB > 8 and RB * W * Dp * (8 * 2 + 4 * 3) > 60e6 \
-            and H % (RB // 2) == 0:
-        RB //= 2
+    RB = _pick_row_block(H, W, Dp, Dm, serving, row_block)
     NR = H // RB
 
     gates_p = jnp.pad(gates.astype(jnp.float32), ((0, 0), (0, 0), (0, dp)))

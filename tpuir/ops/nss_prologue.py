@@ -94,6 +94,30 @@ def _make_kernel(RB: int, W: int, Dmp: int, Di: int, Dp: int, H: int,
     return kernel
 
 
+def _pick_row_block(H, W, Dmp, Dp, serving, row_block):
+    """Rows per grid step, bounded by a VMEM model of the compiler's
+    scoped accounting: input rows at io dtype (pipeline double-buffered),
+    the f32 compute planes (xz + 3 shifted acc + conv/x_), and the 3
+    outputs at io dtype (double-buffered). The f32 parity path is ~2x the
+    bf16 serving live set at the same RB — at 128px/RB=64 the compiler
+    measures 102.9 MB f32 vs a 101.6 MB limit, so the bound must be
+    dtype-aware (regression: tests/test_nss_prologue.py)."""
+    RB = min(row_block, H)
+    while H % RB:
+        RB //= 2
+    io_b = 2 if serving else 4
+
+    def est(rb):
+        pos = (rb + 2) * W
+        return (pos * Dmp * io_b * 2
+                + pos * Dp * 4 * 5
+                + rb * W * Dp * io_b * 3 * 2)
+
+    while RB > 8 and est(RB) > 90e6 and H % (RB // 2) == 0:
+        RB //= 2
+    return RB
+
+
 def _forward(h, w_in, conv_k, conv_b, d_inner, serving, interpret,
              row_block):
     B, H, W, Dm = h.shape
@@ -104,15 +128,7 @@ def _forward(h, w_in, conv_k, conv_b, d_inner, serving, interpret,
     Dp = Di + dp
     io_dtype = jnp.bfloat16 if serving else jnp.float32
 
-    RB = min(row_block, H)
-    while H % RB:
-        RB //= 2
-    # VMEM guard: the step's live set is ~(RB+2)*W*(Dmp + ~3.5*Dp) f32
-    # (input rows + xz + conv planes + outputs); keep it under ~60 MB so
-    # big images (384px: W=384, Dp=256) don't blow the 100 MB budget
-    while RB > 8 and (RB + 2) * W * (Dmp + 3.5 * Dp) * 4 > 60e6 \
-            and H % (RB // 2) == 0:
-        RB //= 2
+    RB = _pick_row_block(H, W, Dmp, Dp, serving, row_block)
     NR = H // RB
 
     hp = jnp.pad(h.astype(io_dtype), ((0, 0), (0, 0), (0, 0), (0, dmp)))
