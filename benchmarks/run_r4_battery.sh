@@ -17,6 +17,7 @@ stage() {  # stage <timeout-s> <label> <cmd...>
   fi
 }
 
+stage 3600 "VPU/MXU micro-roofline (writes benchmarks/micro_vpu.json)" python benchmarks/micro_vpu.py
 stage 3600 "A/B: stripe vs take @128 (MaIR + MaIRUNet)" python benchmarks/ab_stripe.py
 stage 3600 "MaIR rest-bucket decomposition" python benchmarks/decomp_mair2.py
 stage 5400 "large shapes @384" python benchmarks/large_stripe.py
