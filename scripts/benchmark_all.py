@@ -255,6 +255,11 @@ def main():
         json.dump(
             {"device": jax.devices()[0].platform,
              "precision": "parity=float32-pinned, serving=bf16-MXU-passes",
+             "mfu_note": "mfu_pct uses XLA's CPU cost-analysis flop count "
+                         "over a measured 45 TFLOP/s bf16 peak; for REDNet "
+                         "the count includes ConvTranspose as full dense "
+                         "convs on the upsampled grid, so >100% values are "
+                         "a numerator overcount, not >peak execution",
              "results": results}, f, indent=2,
         )
     print(f"written {out_path}")
