@@ -1,0 +1,123 @@
+"""Phase-domain folding of the FPN tail's nearest-upsample ×2 + 3×3 conv.
+
+The DeblurGANv2 generators end with ``upsample_nearest(s, 2)`` followed by
+a 3×3 zero-padded conv to 3 channels, then ``clip(tanh(f) + x, -1, 1)``
+(reference: /root/reference/src/deblurganv2/models/fpn_mobilenet.py:144-147,
+fpn_inception.py:165-169). On TPU the upsampled (N, 2H, 2W, C) tensor is an
+HBM round trip ~4× the conv input, and the C_out=3 conv output occupies a
+128-lane tile at 3/128 fill — measured at ~14 ms of the 58 ms
+FPN-MobileNet@2048 forward (benchmarks/micro_mobilenet.py).
+
+Because nearest-×2 duplicates pixels, the composite is EXACTLY a stride-1
+conv in the low-resolution domain producing the four output phases
+(di, dj) ∈ {0,1}²:
+
+    y[2i+di, 2j+dj] = Σ_{u,v} k[u,v] · up[2i+di+u-1, 2j+dj+v-1]
+                    = Σ_{a,b}  e_di[a] ⊗ e_dj[b] · low[i+a, j+b]
+
+with per-phase effective taps (center-anchored, a ∈ {-1,0,1})
+
+    e_0 = [k0, k1+k2, 0]        e_1 = [0, k0+k1, k2]
+
+and zero padding 1 in the low domain reproducing the high-domain zero
+padding exactly (up[-1] = 0 ↔ low[-1] = 0).  The skip/tanh/clip epilogue
+then runs on the (N, H, W, 4·C_out) phase layout — 12 lanes instead of two
+materialized 3-lane 4MPix tensors — with a single depth-to-space at the
+end.  The fold is mathematically exact up to the k1+k2 pre-summation
+(≤1 ulp reassociation).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+
+def fold_up2_kernel(k: jnp.ndarray) -> jnp.ndarray:
+    """Fold a (3, 3, Cin, Cout) kernel over a nearest-×2 upsample.
+
+    Returns a (3, 3, Cin, 4·Cout) kernel whose output channels are the four
+    phases in (di, dj)-major, channel-minor order — the order
+    :func:`depth_to_space2` and :func:`space_to_depth2` use.
+    """
+    if k.shape[:2] != (3, 3):
+        raise ValueError(f"fold_up2_kernel expects a 3x3 kernel, got {k.shape}")
+    z = jnp.zeros_like(k[0])  # (3, Cin, Cout)
+
+    def fold_rows(kk, d):  # fold axis 0 for row phase d
+        if d == 0:
+            return jnp.stack([kk[0], kk[1] + kk[2], jnp.zeros_like(kk[0])])
+        return jnp.stack([jnp.zeros_like(kk[0]), kk[0] + kk[1], kk[2]])
+
+    def fold_cols(kk, d):  # fold axis 1 for column phase d
+        if d == 0:
+            return jnp.stack([kk[:, 0], kk[:, 1] + kk[:, 2], z], axis=1)
+        return jnp.stack([jnp.zeros_like(kk[:, 0]), kk[:, 0] + kk[:, 1], kk[:, 2]], axis=1)
+
+    phases = [fold_cols(fold_rows(k, di), dj) for di in (0, 1) for dj in (0, 1)]
+    return jnp.concatenate(phases, axis=-1)
+
+
+def depth_to_space2(y: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, H, W, 4c) phase layout → (N, 2H, 2W, c); phases (di, dj)-major."""
+    n, h, w, c4 = y.shape
+    assert c4 == 4 * c, (y.shape, c)
+    y = y.reshape(n, h, w, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+
+
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2H, 2W, c) → (N, H, W, 4c) phase layout; inverse of depth_to_space2."""
+    n, h2, w2, c = x.shape
+    assert h2 % 2 == 0 and w2 % 2 == 0, x.shape
+    x = x.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 // 2, w2 // 2, 4 * c)
+
+
+def folded_tail(smoothed: jnp.ndarray, skip: jnp.ndarray, kernel: jnp.ndarray,
+                bias: jnp.ndarray) -> jnp.ndarray:
+    """Phase-domain ``clip(tanh(conv3x3(up2(smoothed))) + skip, -1, 1)``.
+
+    ``smoothed`` is (N, H, W, Cin); ``skip`` is the full-resolution
+    (N, 2H, 2W, Cout) input image.
+    """
+    cout = kernel.shape[-1]
+    w4 = fold_up2_kernel(kernel)
+    y4 = lax.conv_general_dilated(
+        smoothed, w4.astype(smoothed.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x4 = space_to_depth2(skip)
+    out4 = jnp.clip(
+        jnp.tanh(y4 + jnp.tile(bias, 4).astype(y4.dtype)) + x4, -1.0, 1.0
+    )
+    return depth_to_space2(out4, cout)
+
+
+class FinalTail(nn.Module):
+    """``clip(tanh(conv3x3(up2(s))) + x, -1, 1)`` with an optional exact fold.
+
+    Instantiated with ``name="final"`` so its ``kernel``/``bias`` params are
+    pytree-identical to the ``nn.Conv(name="final")`` the unfolded models
+    declared — converted checkpoints load into either path unchanged.
+    """
+
+    out: int
+    fold: bool = False
+
+    @nn.compact
+    def __call__(self, smoothed: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
+        cin = smoothed.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out,))
+        if self.fold and skip.shape[1] % 2 == 0 and skip.shape[2] % 2 == 0:
+            return folded_tail(smoothed, skip, kernel, bias)
+        up = jnp.repeat(jnp.repeat(smoothed, 2, axis=1), 2, axis=2)
+        f = lax.conv_general_dilated(
+            up, kernel.astype(up.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(up.dtype)
+        return jnp.clip(jnp.tanh(f) + skip, -1.0, 1.0)

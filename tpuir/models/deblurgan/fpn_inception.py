@@ -49,6 +49,8 @@ class FPNInception(nn.Module):
     output_ch: int = 3
     num_filters: int = 128
     num_filters_fpn: int = 256
+    # Exact phase-domain fold of the final up2+conv3x3+tanh+skip (fold.py).
+    fold_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -87,10 +89,10 @@ class FPNInception(nn.Module):
         )
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + map0)
-        smoothed = upsample_nearest(smoothed, 2)
 
-        final = nn.Conv(self.output_ch, (3, 3), padding=1, name="final")(smoothed)
-        return jnp.clip(jnp.tanh(final) + x, -1.0, 1.0)
+        from .fold import FinalTail
+
+        return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:

@@ -92,6 +92,9 @@ class FPNMobileNet(nn.Module):
     output_ch: int = 3
     num_filters: int = 64
     num_filters_fpn: int = 128
+    # Exact phase-domain fold of the final up2+conv3x3+tanh+skip (fold.py);
+    # param-compatible with the unfolded tail, serving-mode default via zoo.
+    fold_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,10 +134,10 @@ class FPNMobileNet(nn.Module):
         )
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + lateral0)
-        smoothed = upsample_nearest(smoothed, 2)
 
-        final = nn.Conv(self.output_ch, (3, 3), padding=1, name="final")(smoothed)
-        return jnp.clip(jnp.tanh(final) + x, -1.0, 1.0)
+        from .fold import FinalTail
+
+        return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
 
 
 # ---------------------------------------------------------------------------
