@@ -111,7 +111,7 @@ def main():
             normalize=normalize_signed, postprocess=lambda x: (x + 1) / 2.0,
             compute_dtype="bfloat16")),
     ]:
-        out = run_model_inference(b, clean)
+        out, _ms = run_model_inference(b, clean)
         psnr, _ = calculate_metrics(out, clean)
         rows[label] = float(psnr)
         print(f"  {label:22s}: PSNR vs clean = {psnr:.4f} dB", flush=True)
