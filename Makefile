@@ -1,8 +1,14 @@
 # tpuir — convenience targets (CLI parity with the reference Makefile)
 
-.PHONY: test bench download-weights download-datasets native demo flops clean
+.PHONY: test test-monolithic bench download-weights download-datasets native demo flops clean
 
+# The gate: chunked runner (fresh process per chunk, persistent compile
+# cache) — a monolithic 40-min pytest process has segfaulted inside
+# XLA:CPU compiles; see scripts/run_tests.py.
 test:
+	python scripts/run_tests.py
+
+test-monolithic:
 	python -m pytest tests/ -q
 
 bench:

@@ -229,6 +229,61 @@ def trained_like_bundles():
                        patch_overlap=32, pad_factor=8, compute_dtype="float32"),
         img3, 25,
     ))
+
+    from tpuir.models.rednet import REDNet
+
+    m = REDNet()
+    p = m.init(jax.random.PRNGKey(13), np.zeros((1, 64, 64, 1), np.float32))
+    p = _scale_head(p, "deconv15")
+    mk = lambda dt: InferenceModel(  # noqa: E731
+        name="r", apply_fn=m.apply, params=p, patch_size=128,
+        patch_overlap=32, compute_dtype=dt)
+    out.append(("REDNet", mk(None), mk("bfloat16"), img, 25))
+
+    from tpuir.models.mair_unet import MaIRUNet
+
+    mu32 = MaIRUNet(dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
+                    ssm_ratio=2.0, flp_ratio=4.0, mlp_ratio=1.5, scan_len=4)
+    musrv = MaIRUNet(dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
+                     ssm_ratio=2.0, flp_ratio=4.0, mlp_ratio=1.5, scan_len=4,
+                     scan_io_dtype="bfloat16")
+    p = mu32.init(jax.random.PRNGKey(14), np.zeros((1, 64, 64, 3), np.float32))
+    p = _scale_head(p, "output")
+    out.append((
+        "MaIRUNet",
+        InferenceModel(name="u", apply_fn=mu32.apply, params=p, patch_size=256,
+                       patch_overlap=64, pad_factor=8),
+        InferenceModel(name="u", apply_fn=musrv.apply, params=p, patch_size=256,
+                       patch_overlap=64, pad_factor=8, compute_dtype="float32"),
+        img3, 25,
+    ))
+
+    # DeblurGANv2: deblurring has no noise synthesis — the near-identity
+    # (head-scaled) generator runs the clean image straight through, and the
+    # parity/serving PSNR-vs-clean pair bounds the CSV-row delta exactly as
+    # for the denoisers. Serving runs the folded tail, matching
+    # zoo.build_deblurgan(precision='serving').
+    from tpuir.models.deblurgan import FPNInception, FPNMobileNet
+
+    for cls, label, key in ((FPNMobileNet, "DeblurGANv2-MobileNet", 15),
+                            (FPNInception, "DeblurGANv2-Inception", 16)):
+        mg = cls()
+        mg_f = cls(fold_tail=True)
+        p = mg.init(jax.random.PRNGKey(key), np.zeros((1, 160, 160, 3), np.float32))
+        p = _scale_head(p, "final")
+        out.append((
+            label,
+            InferenceModel(name="g", apply_fn=mg.apply, params=p,
+                           patch_size=None, patch_overlap=0, pad_block=32,
+                           normalize=normalize_signed,
+                           postprocess=lambda x: (x + 1) / 2.0),
+            InferenceModel(name="g", apply_fn=mg_f.apply, params=p,
+                           patch_size=None, patch_overlap=0, pad_block=32,
+                           normalize=normalize_signed,
+                           postprocess=lambda x: (x + 1) / 2.0,
+                           compute_dtype="float32"),
+            img3, None,
+        ))
     return out
 
 
@@ -242,10 +297,11 @@ def run_trained_like():
         if _only and _only.lower() not in name.lower():
             continue
         try:
+            degrade = sigma is not None
             out_p, _ = with_retry(lambda: run_model_inference(
-                parity, clean, need_degradation=True, noise_level=sigma))
+                parity, clean, need_degradation=degrade, noise_level=sigma))
             out_s, _ = with_retry(lambda: run_model_inference(
-                serving, clean, need_degradation=True, noise_level=sigma))
+                serving, clean, need_degradation=degrade, noise_level=sigma))
             psnr_p, _ = calculate_metrics(out_p, clean)
             psnr_s, _ = calculate_metrics(out_s, clean)
             section[name] = {

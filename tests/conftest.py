@@ -16,6 +16,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache shared across the chunked runner's processes
+# (scripts/run_tests.py) and across runs: repeat suite walls are then
+# execution-dominated instead of XLA:CPU compile-dominated.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/tpuir_jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

@@ -101,6 +101,13 @@ class FinalTail(nn.Module):
     Instantiated with ``name="final"`` so its ``kernel``/``bias`` params are
     pytree-identical to the ``nn.Conv(name="final")`` the unfolded models
     declared — converted checkpoints load into either path unchanged.
+
+    With ``fold=True`` the phase-domain fold requires ``skip`` to be exactly
+    2x ``smoothed`` in H and W (the generators guarantee this for even input
+    sizes; the engine's pad-to-32 makes production inputs always even). For
+    odd input sizes the upsample path is dim-wise ambiguous, so the module
+    silently falls back to the unfolded (still exact) tail; a skip that is
+    even but NOT 2x smoothed indicates a wiring bug and raises.
     """
 
     out: int
@@ -114,6 +121,11 @@ class FinalTail(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out,))
         if self.fold and skip.shape[1] % 2 == 0 and skip.shape[2] % 2 == 0:
+            if (skip.shape[1] != 2 * smoothed.shape[1]
+                    or skip.shape[2] != 2 * smoothed.shape[2]):
+                raise ValueError(
+                    f"FinalTail(fold=True): skip {skip.shape} is not exactly "
+                    f"2x smoothed {smoothed.shape}")
             return folded_tail(smoothed, skip, kernel, bias)
         up = jnp.repeat(jnp.repeat(smoothed, 2, axis=1), 2, axis=2)
         f = lax.conv_general_dilated(

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .fold import FinalTail
 from .inception_resnet_v2 import InceptionTrunk, convert_trunk, _conv_k
 from .norms import TrainNorm, upsample_nearest
 
@@ -89,8 +90,6 @@ class FPNInception(nn.Module):
         )
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + map0)
-
-        from .fold import FinalTail
 
         return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
 

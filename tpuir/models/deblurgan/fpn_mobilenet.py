@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .fold import FinalTail
 from .norms import TrainNorm, upsample_nearest
 
 # MobileNetV2 inverted-residual settings rows (t, c, n, s) expanded to the
@@ -93,7 +94,8 @@ class FPNMobileNet(nn.Module):
     num_filters: int = 64
     num_filters_fpn: int = 128
     # Exact phase-domain fold of the final up2+conv3x3+tanh+skip (fold.py);
-    # param-compatible with the unfolded tail, serving-mode default via zoo.
+    # param-compatible with the unfolded tail. zoo.build_deblurgan enables
+    # it for precision='serving'.
     fold_tail: bool = False
 
     @nn.compact
@@ -134,8 +136,6 @@ class FPNMobileNet(nn.Module):
         )
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + lateral0)
-
-        from .fold import FinalTail
 
         return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
 

@@ -110,18 +110,23 @@ def build_dncnn(weights_dir: str, gray: bool, sigma, precision: str = "parity") 
 def build_deblurgan(weights_dir: str, variant: str, precision: str = "parity") -> InferenceModel:
     from tpuir.models import deblurgan as m
 
+    # Serving mode runs the exact phase-domain fold of the final
+    # up2+conv3x3+tanh+skip tail (models/deblurgan/fold.py) — same params,
+    # ≤1 ulp reassociation; A/B'd on device in benchmarks/ab_fold_tail.py.
+    # The engine's pad-to-32 guarantees the even input sizes the fold needs.
+    fold = precision == "serving"
     if variant == "Inception":
         sd = _load_sd(
             os.path.join(weights_dir, "DeblurGANv2", "fpn_inception.h5"), key="model"
         )
-        model = m.FPNInception()
+        model = m.FPNInception(fold_tail=fold)
         params = m.convert_inception(sd)
         name = "DeblurGANv2 (Inception)"
     else:
         sd = _load_sd(
             os.path.join(weights_dir, "DeblurGANv2", "fpn_mobilenet.h5"), key="model"
         )
-        model = m.FPNMobileNet()
+        model = m.FPNMobileNet(fold_tail=fold)
         params = m.convert_mobilenet(sd)
         name = "DeblurGANv2 (MobileNet)"
     pc = get_patch_config("deblurring", "motion", name)
