@@ -22,11 +22,15 @@ TPUIR_BENCH_A100_MAIR_MPIXPS remain.
 Context fields per row (see BASELINE.md "What the derivation shows"):
   * vs_a100        — ours / 1x A100-device (per-chip ratio)
   * sol_fraction   — ours / this chip's flop speed-of-light for the
-    model (XLA-counted FLOPs / 45 TFLOP/s measured bf16 MXU peak).
-    A100-80GB is ~1.6x this chip on MXU flops and ~5x on elementwise
-    fp32, so 4x-per-chip exceeds silicon for both flagships (for
-    Restormer the 4x target is 11.5 Mpix/s vs an 8.8 Mpix/s 100%-MFU
-    ceiling); sol_fraction shows how much software headroom remains.
+    model (XLA-counted FLOPs / the measured bf16 MXU peak, 164 TFLOP/s
+    from benchmarks/micro_vpu.py's chained 8192^3 loop; round 4's
+    45 TF/s figure was dispatch-latency-polluted and is retired).
+    Per resource, one v5e vs one A100-80GB: MXU 164 vs ~70 TF/s
+    effective (v5e ahead), HBM 0.7 vs 1.6 TB/s (A100 2.3x), f32
+    elementwise VPU ~0.6 vs ~9.7 Tfma/s (A100 ~16x). So the 4x-A100
+    target is silicon-barred only for VPU/HBM-bound families (MaIR's
+    scan, MobileNet's lane-padded streams); for the matmul-bound
+    families sol_fraction shows honest software headroom.
 """
 
 import json
@@ -70,6 +74,18 @@ def measure(apply_fn, params, x, iters, pin_f32=False):
     return x.shape[0] * x.shape[1] * x.shape[2] * iters / dt / 1e6
 
 
+def _measured_peak():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "micro_vpu.json")
+    try:
+        return json.load(open(path))["bf16_matmul_peak_tflops"] * 1e12
+    except Exception:
+        return 164e12
+
+
+_PEAK = _measured_peak()
+
+
 def _a100_estimates():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", "a100_estimates.json")
@@ -97,10 +113,12 @@ def main():
         est.get("MaIR-CDN@128", {}).get("a100_device_mpix_per_s", 0.379),
     ))
     # v5e flop SoL: XLA-counted 1572 GFLOP @256 (scripts/compute_flops.py)
-    # -> 393 GFLOP @128 over the measured 45 TFLOP/s bf16 peak. The scan
-    # executes on the VPU (~4 Tops/s), not the MXU, so this ceiling is
-    # structurally unreachable for MaIR — see BASELINE.md.
-    mair_sol = 128 * 128 / (393.1e9 / 45e12) / 1e6
+    # -> 393 GFLOP @128 over the measured 164 TFLOP/s bf16 peak
+    # (micro_vpu.json). The scan executes on the VPU (measured ~0.6-0.8
+    # Tops/s per op class), not the MXU, so this flop ceiling is
+    # structurally unreachable for MaIR — the binding ceiling is the
+    # measured VPU arithmetic floor (micro_vpu.json measured/floor=0.82).
+    mair_sol = 128 * 128 / (393.1e9 / _PEAK) / 1e6
     print(
         json.dumps(
             {
@@ -137,8 +155,8 @@ def main():
         "TPUIR_BENCH_A100_MPIXPS",
         est.get("Restormer@256", {}).get("a100_device_mpix_per_s", 2.876),
     ))
-    # v5e flop SoL: 335 GFLOP @256 (XLA count) / 45 TFLOP/s
-    rest_sol = 256 * 256 / (335.0e9 / 45e12) / 1e6
+    # v5e flop SoL: 335 GFLOP @256 (XLA count) / measured 164 TFLOP/s
+    rest_sol = 256 * 256 / (335.0e9 / _PEAK) / 1e6
     print(
         json.dumps(
             {

@@ -88,9 +88,23 @@ def cases(large=False):
     return rows
 
 
-# Measured bf16 matmul peak on this v5e (docs/STATUS.md); every row is
-# ratioed against the same ceiling so MFU is comparable across modes.
-PEAK_FLOPS = 45e12
+# Measured bf16 matmul peak on this v5e: the 8192^3 chained-loop
+# measurement in benchmarks/micro_vpu.py (164 TF/s, ~83% of the 197 TF/s
+# nominal). Round 4 used a stale 45 TF/s figure measured per-dispatch
+# through the tunnel (the ~25 ms dispatch latency polluted it), which
+# produced impossible >100% MFU cells; every row is ratioed against the
+# same measured ceiling so MFU is comparable across modes.
+def _peak_flops():
+    try:
+        mv = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "benchmarks", "micro_vpu.json")))
+        return mv["bf16_matmul_peak_tflops"] * 1e12
+    except Exception:
+        return 164e12
+
+
+PEAK_FLOPS = _peak_flops()
 
 # Derived A100 baselines (benchmarks/a100_estimate.py -> BASELINE.md):
 # row-name prefix -> a100_estimates.json key. vs_a100 = ours / A100-device;
@@ -255,11 +269,7 @@ def main():
         json.dump(
             {"device": jax.devices()[0].platform,
              "precision": "parity=float32-pinned, serving=bf16-MXU-passes",
-             "mfu_note": "mfu_pct uses XLA's CPU cost-analysis flop count "
-                         "over a measured 45 TFLOP/s bf16 peak; for REDNet "
-                         "the count includes ConvTranspose as full dense "
-                         "convs on the upsampled grid, so >100% values are "
-                         "a numerator overcount, not >peak execution",
+             "peak_flops": PEAK_FLOPS,
              "results": results}, f, indent=2,
         )
     print(f"written {out_path}")
