@@ -90,6 +90,13 @@ class InferenceModel:
     param_count: int = 0
     device_pipeline: bool = True  # kept for API compat; both paths identical now
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for the serving mode
+    # Phase-layout IO (DeblurGANv2 serving): patches move host<->device as
+    # (N, h/2, w/2, 4C) space_to_depth2 tensors, the pad-to-block and the
+    # depth-to-space fold into the native patch gather / blend-stitch
+    # (native/tileblend.cpp), and apply_fn consumes/produces phase layout
+    # (models/deblurgan/fold.py). Avoids every lane-starved C-channel
+    # full-resolution HBM stream on the device.
+    phase_io: bool = False
     extra: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
@@ -113,10 +120,23 @@ class InferenceModel:
                 jnp.dtype(self.compute_dtype) if self.compute_dtype else None
             )
 
+            phase_io = self.phase_io
+
             def step(params, x):
                 h, w = x.shape[1], x.shape[2]
                 if compute_dtype is not None:
                     x = x.astype(compute_dtype)
+                if phase_io:
+                    # already padded + phase-packed by the native gather;
+                    # the crop back happens in the phase blend-stitch
+                    if compute_dtype is None:
+                        with jax.default_matmul_precision("float32"):
+                            y = apply_fn(params, x)
+                    else:
+                        y = apply_fn(params, x)
+                    if postprocess is not None:
+                        y = postprocess(y)
+                    return y.astype(jnp.float32)
                 if pad_factor:
                     x = pad_to_multiple(x, pad_factor, mode="reflect")
                 elif pad_block:
@@ -212,10 +232,18 @@ def run_model_inference(
     ph, pw = min(ps, h), min(ps, w)
     coords = [(hi, wi) for hi in h_idx_list for wi in w_idx_list]
 
-    patches = native.extract_patches(img, coords, ph, pw)
-    if need_degradation and noise_level is not None:
-        # bit-exact float64 AWGN add (reference arithmetic), once per batch
-        patches = add_noise_batched(patches, noise_level)
+    if model.phase_io:
+        if need_degradation:
+            raise ValueError("phase_io engine path has no AWGN support")
+        block = model.pad_block or 32
+        ph_pad = (ph // block + 1) * block
+        pw_pad = (pw // block + 1) * block
+        patches = native.extract_patches_phase(img, coords, ph, pw, ph_pad, pw_pad)
+    else:
+        patches = native.extract_patches(img, coords, ph, pw)
+        if need_degradation and noise_level is not None:
+            # bit-exact float64 AWGN add (reference arithmetic), once per batch
+            patches = add_noise_batched(patches, noise_level)
 
     from tpuir.utils.profiling import maybe_trace
 
@@ -223,6 +251,9 @@ def run_model_inference(
         preds = model.forward_patches(patches, progress_cb)
 
     window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
-    output_img = native.blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
+    if model.phase_io:
+        output_img = native.blend_stitch_phase(preds, coords, window, h, w, ph, pw)
+    else:
+        output_img = native.blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
     output_img = restore_dtype(output_img, input_img)
     return output_img, (time.time() - start_time) * 1000.0

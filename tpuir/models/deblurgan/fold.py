@@ -59,6 +59,45 @@ def fold_up2_kernel(k: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=-1)
 
 
+def fold_s2_entry_kernel(k: jnp.ndarray, padding: str = "same") -> jnp.ndarray:
+    """Fold a (3, 3, Cin, Cout) stride-2 conv kernel for phase-layout input.
+
+    A full-resolution 3x3 stride-2 conv consuming a (N, H/2, W/2, 4*Cin)
+    space-to-depth2 input is EXACTLY a stride-1 (2, 2) conv on the phase
+    grid: full row 2i+u-1 is phase (u+1)%2 of block i + (u-1)//2, so the
+    taps regroup as
+
+      padding='same'  (zero pad 1; MobileNetV2 features_0):
+          block a=0 (i-1): u=0 -> phase 1        | pad left/top 1
+          block a=1 (i):   u=1 -> phase 0, u=2 -> phase 1
+      padding='valid' (Inception conv2d_1a, out = H/2 - 1):
+          block a=0 (i):   u=0 -> phase 0, u=1 -> phase 1
+          block a=1 (i+1): u=2 -> phase 0       | no pad
+
+    Returns a (2, 2, 4*Cin, Cout) kernel for phase-major (di, dj, c)
+    channel order (the space_to_depth2 order). Use with
+    ``padding=((1, 0), (1, 0))`` for 'same' and ``padding='VALID'`` for
+    'valid'.
+    """
+    if k.shape[:2] != (3, 3):
+        raise ValueError(f"fold_s2_entry_kernel expects 3x3, got {k.shape}")
+    cin, cout = k.shape[2], k.shape[3]
+    if padding == "same":
+        tap = {0: (0, 1), 1: (1, 0), 2: (1, 1)}  # u -> (block a, phase)
+    elif padding == "valid":
+        tap = {0: (0, 0), 1: (0, 1), 2: (1, 0)}
+    else:
+        raise ValueError(padding)
+    pk = jnp.zeros((2, 2, 4 * cin, cout), k.dtype)
+    for u in range(3):
+        au, pu = tap[u]
+        for v in range(3):
+            av, pv = tap[v]
+            ch = (pu * 2 + pv) * cin
+            pk = pk.at[au, av, ch : ch + cin, :].set(k[u, v])
+    return pk
+
+
 def depth_to_space2(y: jnp.ndarray, c: int) -> jnp.ndarray:
     """(N, H, W, 4c) phase layout → (N, 2H, 2W, c); phases (di, dj)-major."""
     n, h, w, c4 = y.shape
@@ -76,11 +115,16 @@ def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def folded_tail(smoothed: jnp.ndarray, skip: jnp.ndarray, kernel: jnp.ndarray,
-                bias: jnp.ndarray) -> jnp.ndarray:
+                bias: jnp.ndarray, phase_skip: bool = False,
+                phase_out: bool = False) -> jnp.ndarray:
     """Phase-domain ``clip(tanh(conv3x3(up2(smoothed))) + skip, -1, 1)``.
 
     ``smoothed`` is (N, H, W, Cin); ``skip`` is the full-resolution
-    (N, 2H, 2W, Cout) input image.
+    (N, 2H, 2W, Cout) input image, or — with ``phase_skip`` — its
+    (N, H, W, 4*Cout) space-to-depth2 form (the engine's phase-IO mode,
+    where the device never touches a lane-starved Cout-channel
+    full-resolution tensor). With ``phase_out`` the result stays in phase
+    layout for the host-side depth-to-space.
     """
     cout = kernel.shape[-1]
     w4 = fold_up2_kernel(kernel)
@@ -88,11 +132,54 @@ def folded_tail(smoothed: jnp.ndarray, skip: jnp.ndarray, kernel: jnp.ndarray,
         smoothed, w4.astype(smoothed.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    x4 = space_to_depth2(skip)
+    x4 = skip if phase_skip else space_to_depth2(skip)
     out4 = jnp.clip(
         jnp.tanh(y4 + jnp.tile(bias, 4).astype(y4.dtype)) + x4, -1.0, 1.0
     )
+    if phase_out:
+        return out4
     return depth_to_space2(out4, cout)
+
+
+def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/f, W/f, f*f*C), phase order (di, dj, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space(y: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, f, f, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, f * h, f * w, c)
+
+
+def derive_packed_kernel(lin_fn, cin: int, support: int, blocks: int = None):
+    """Numerically extract the conv kernel equivalent to a linear map.
+
+    ``lin_fn`` maps a phase-packed (1, S, S, cin) block grid to a
+    phase-packed (1, S', S', cout) block grid and must be LINEAR and
+    block-translation-invariant with receptive field <= ``support``
+    blocks (odd, zero 'same' padding). Probing with unit impulses at the
+    center block gives the exact (support, support, cin, cout) HWIO
+    kernel — no hand index derivation, so re-folded paths are correct by
+    construction for ANY packing (used by the phase-packed DeblurGANv2
+    serving convs; cost: cin tiny probe forwards at trace time, folded
+    into the jit constant).
+    """
+    s = blocks or (support + 4)
+    mid = s // 2
+    probes = jnp.zeros((cin, s, s, cin), jnp.float32)
+    probes = probes.at[jnp.arange(cin), mid, mid, jnp.arange(cin)].set(1.0)
+    import jax
+
+    resp = jax.vmap(lambda p: lin_fn(p[None])[0])(probes)  # (cin, S, S, cout)
+    assert resp.shape[1] == s and resp.shape[2] == s, (
+        "derive_packed_kernel needs a same-size block map", resp.shape, s)
+    r = support // 2
+    # y[p] = sum_u k[u] x[p+u-r]  =>  k[u] = resp[mid + r - u]
+    win = resp[:, mid - r : mid + r + 1, mid - r : mid + r + 1, :]
+    return win[:, ::-1, ::-1, :].transpose(1, 2, 0, 3)
 
 
 class FinalTail(nn.Module):
@@ -112,6 +199,7 @@ class FinalTail(nn.Module):
 
     out: int
     fold: bool = False
+    phase_io: bool = False  # skip arrives/result leaves in phase layout
 
     @nn.compact
     def __call__(self, smoothed: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +208,13 @@ class FinalTail(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.out)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out,))
+        if self.phase_io:
+            if skip.shape[1:3] != smoothed.shape[1:3]:
+                raise ValueError(
+                    f"FinalTail(phase_io): phase skip {skip.shape} must match "
+                    f"smoothed {smoothed.shape} spatially")
+            return folded_tail(smoothed, skip, kernel, bias,
+                               phase_skip=True, phase_out=True)
         if self.fold and skip.shape[1] % 2 == 0 and skip.shape[2] % 2 == 0:
             if (skip.shape[1] != 2 * smoothed.shape[1]
                     or skip.shape[2] != 2 * smoothed.shape[2]):

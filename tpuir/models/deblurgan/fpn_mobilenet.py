@@ -14,7 +14,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .fold import FinalTail
+from jax import lax
+
+from .fold import FinalTail, fold_s2_entry_kernel
 from .norms import TrainNorm, upsample_nearest
 
 # MobileNetV2 inverted-residual settings rows (t, c, n, s) expanded to the
@@ -29,15 +31,41 @@ _MNV2_FEATURES = [
 ]
 
 
+class _Conv3x3Param(nn.Module):
+    """Bare (3,3,Cin,Cout) kernel param, pytree-identical to
+    ``nn.Conv(name=...)`` without bias — so phase-folded apply paths load
+    the same converted checkpoints."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, self.cin, self.cout)
+        )
+
+
 class _ConvBNRelu6(nn.Module):
     out: int
     stride: int
+    phase_in: bool = False  # input is space_to_depth2 of the full-res image
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.out, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv"
-        )(x)
+        if self.phase_in:
+            assert self.stride == 2
+            k = _Conv3x3Param(x.shape[-1] // 4, self.out, name="conv")()
+            pk = fold_s2_entry_kernel(k, "same")
+            x = lax.conv_general_dilated(
+                x, pk.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.out, (3, 3), strides=self.stride, padding=1,
+                use_bias=False, name="conv",
+            )(x)
         x = TrainNorm(self.out, affine=True, name="bn")(x)
         return jnp.clip(nn.relu(x), 0, 6.0)
 
@@ -94,9 +122,18 @@ class FPNMobileNet(nn.Module):
     num_filters: int = 64
     num_filters_fpn: int = 128
     # Exact phase-domain fold of the final up2+conv3x3+tanh+skip (fold.py);
-    # param-compatible with the unfolded tail. zoo.build_deblurgan enables
-    # it for precision='serving'.
+    # param-compatible with the unfolded tail (opt-in; measured
+    # perf-neutral alone — benchmarks/ab_fold_tail.py).
     fold_tail: bool = False
+    # Phase-layout IO: __call__ takes/returns (N, H/2, W/2, 4*3) space-to-
+    # depth2 tensors (host-side relayout in native/tileblend.cpp), so the
+    # device never touches a 3-lane full-resolution tensor — on TPU a
+    # C-channel NHWC array occupies ceil(C/128)*128/C x its logical HBM
+    # bytes, making the C=3 input/output streams the single largest cost
+    # of the @2048 serving forward (benchmarks/probe_lane_layout.py).
+    # Mathematically exact: entry conv and tail are re-folded from the
+    # SAME checkpoint params (fold.py). zoo enables for serving.
+    phase_io: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,7 +142,7 @@ class FPNMobileNet(nn.Module):
         # Bottom-up backbone with taps matching the reference enc slices
         # (fpn_mobilenet.py:91-95): enc0=[0:2], enc1=[2:4], enc2=[4:7],
         # enc3=[7:11], enc4=[11:16].
-        h = _ConvBNRelu6(32, 2, name="features_0")(x)
+        h = _ConvBNRelu6(32, 2, phase_in=self.phase_io, name="features_0")(x)
         taps = {}
         inp = 32
         for i, (t, c, s) in enumerate(_MNV2_FEATURES, start=1):
@@ -137,7 +174,8 @@ class FPNMobileNet(nn.Module):
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + lateral0)
 
-        return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
+        return FinalTail(self.output_ch, fold=self.fold_tail,
+                         phase_io=self.phase_io, name="final")(smoothed, x)
 
 
 # ---------------------------------------------------------------------------
