@@ -122,14 +122,17 @@ def build_cases():
         (720, 1280, 3), {},
     ))
 
-    # --- DeblurGANv2 MobileNet (GoPro-shaped; single 2048 patch)
+    # --- DeblurGANv2 MobileNet (GoPro-shaped; single 2048 patch),
+    # serving = phase-packed path (zoo precision='serving')
     m = FPNMobileNet()
+    mph = FPNMobileNet(phase_io=True)
     cases.append((
         "DeblurGANv2-MobileNet @720x1280", "DeblurGANv2-MobileNet@2048",
-        InferenceModel(name="DeblurGANv2 (MobileNet)", apply_fn=m.apply,
+        InferenceModel(name="DeblurGANv2 (MobileNet)", apply_fn=mph.apply,
                        params=_init(m, 3), patch_size=2048, patch_overlap=384,
                        pad_block=32, normalize=normalize_signed,
                        postprocess=lambda x: (x + 1) / 2.0,
+                       phase_io=True, phase_factor=4,
                        compute_dtype="float32"),
         (720, 1280, 3), {},
     ))

@@ -50,8 +50,8 @@ void blend_accumulate(float* out, float* wmap, int64_t h, int64_t w, int64_t c,
   }
 }
 
-// Gather N patches in space_to_depth2 phase layout: out (n, hp2, wp2, 4c)
-// with hp2 = ph_pad/2, wp2 = pw_pad/2 and channel order (di, dj, c).
+// Gather N patches in space_to_depth(f) phase layout: out
+// (n, ph_pad/f, pw_pad/f, f*f*c) with channel order (di, dj, c).
 // The valid source region is (ph, pw) at coords[i]; rows/cols in
 // [ph, ph_pad) / [pw, pw_pad) are zero — this fuses the DeblurGANv2
 // always-pad-to-block AND the phase relayout into the patch gather the
@@ -59,53 +59,57 @@ void blend_accumulate(float* out, float* wmap, int64_t h, int64_t w, int64_t c,
 void extract_patches_phase(const float* img, int64_t h, int64_t w, int64_t c,
                            const int64_t* coords, int64_t n,
                            int64_t ph, int64_t pw,
-                           int64_t ph_pad, int64_t pw_pad, float* out) {
-  const int64_t hp2 = ph_pad / 2, wp2 = pw_pad / 2;
-  std::memset(out, 0, sizeof(float) * n * hp2 * wp2 * 4 * c);
+                           int64_t ph_pad, int64_t pw_pad, int64_t f,
+                           float* out) {
+  const int64_t hpf = ph_pad / f, wpf = pw_pad / f;
+  std::memset(out, 0, sizeof(float) * n * hpf * wpf * f * f * c);
   for (int64_t i = 0; i < n; ++i) {
     const int64_t hi = coords[2 * i], wi = coords[2 * i + 1];
-    for (int64_t r2 = 0; r2 < hp2; ++r2) {
-      for (int64_t di = 0; di < 2; ++di) {
-        const int64_t r = 2 * r2 + di;
+    for (int64_t rb = 0; rb < hpf; ++rb) {
+      for (int64_t di = 0; di < f; ++di) {
+        const int64_t r = f * rb + di;
         if (r >= ph) continue;
         const float* src = img + ((hi + r) * w + wi) * c;
-        float* dst = out + (((i * hp2 + r2) * wp2) * 4 + di * 2) * c;
-        for (int64_t w2 = 0; w2 < wp2; ++w2) {
-          const int64_t c0 = 2 * w2, c1 = 2 * w2 + 1;
-          if (c0 < pw) std::memcpy(dst, src + c0 * c, sizeof(float) * c);
-          if (c1 < pw) std::memcpy(dst + c, src + c1 * c, sizeof(float) * c);
-          dst += 4 * c;
+        float* dst = out + (((i * hpf + rb) * wpf) * f * f + di * f) * c;
+        for (int64_t wb = 0; wb < wpf; ++wb) {
+          for (int64_t dj = 0; dj < f; ++dj) {
+            const int64_t col = f * wb + dj;
+            if (col < pw)
+              std::memcpy(dst + dj * c, src + col * c, sizeof(float) * c);
+          }
+          dst += f * f * c;
         }
       }
     }
   }
 }
 
-// Accumulate phase-layout preds (n, hp2, wp2, 4c) * window into out/wmap
-// (h, w, c) — the phase-IO counterpart of blend_accumulate; the crop to
-// the (ph, pw) valid region happens here (padded rows/cols are skipped).
+// Accumulate phase-layout preds (n, ph_pad/f, pw_pad/f, f*f*c) * window
+// into out/wmap (h, w, c) — the phase-IO counterpart of blend_accumulate;
+// the crop to the (ph, pw) valid region happens here.
 void blend_accumulate_phase(float* out, float* wmap, int64_t h, int64_t w,
                             int64_t c, const float* preds,
                             const int64_t* coords, int64_t n,
                             int64_t ph, int64_t pw,
-                            int64_t ph_pad, int64_t pw_pad,
+                            int64_t ph_pad, int64_t pw_pad, int64_t f,
                             const float* window) {
-  const int64_t hp2 = ph_pad / 2, wp2 = pw_pad / 2;
+  const int64_t hpf = ph_pad / f, wpf = pw_pad / f;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t hi = coords[2 * i], wi = coords[2 * i + 1];
-    for (int64_t r2 = 0; r2 < hp2; ++r2) {
-      for (int64_t di = 0; di < 2; ++di) {
-        const int64_t r = 2 * r2 + di;
+    for (int64_t rb = 0; rb < hpf; ++rb) {
+      for (int64_t di = 0; di < f; ++di) {
+        const int64_t r = f * rb + di;
         if (r >= ph) continue;
         float* orow = out + ((hi + r) * w + wi) * c;
         float* wrow = wmap + ((hi + r) * w + wi) * c;
-        const float* prow = preds + (((i * hp2 + r2) * wp2) * 4 + di * 2) * c;
+        const float* prow =
+            preds + (((i * hpf + rb) * wpf) * f * f + di * f) * c;
         const float* wnrow = window + (r * pw) * c;
-        for (int64_t w2 = 0; w2 < wp2; ++w2) {
-          for (int64_t dj = 0; dj < 2; ++dj) {
-            const int64_t col = 2 * w2 + dj;
+        for (int64_t wb = 0; wb < wpf; ++wb) {
+          for (int64_t dj = 0; dj < f; ++dj) {
+            const int64_t col = f * wb + dj;
             if (col >= pw) continue;
-            const float* p = prow + (4 * w2 + dj) * c;
+            const float* p = prow + (f * f * wb + dj) * c;
             for (int64_t k = 0; k < c; ++k) {
               orow[col * c + k] += p[k] * wnrow[col * c + k];
               wrow[col * c + k] += wnrow[col * c + k];

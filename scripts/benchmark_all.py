@@ -61,10 +61,11 @@ def cases(large=False):
         ("Restormer@256 serving b=8", Restormer(), fused_serving, 3, 256,
          "default", 8),
         ("DeblurGANv2-MobileNet@256 parity", FPNMobileNet(), None, 3, 256, "f32", 1),
-        ("DeblurGANv2-MobileNet@256 serving", FPNMobileNet(), None, 3, 256,
-         "default", 1),
-        ("DeblurGANv2-MobileNet@256 serving b=8", FPNMobileNet(), None, 3,
-         256, "default", 8),
+        # serving = the phase-packed path (zoo precision='serving')
+        ("DeblurGANv2-MobileNet@256 serving", FPNMobileNet(phase_io=True),
+         None, 3, 256, "default", 1),
+        ("DeblurGANv2-MobileNet@256 serving b=8", FPNMobileNet(phase_io=True),
+         None, 3, 256, "default", 8),
         ("MaIR-CDN@128 parity", MaIR(), None, 3, 128, "f32", 1),
         ("MaIR-CDN@128 serving", MaIR(scan_io_dtype="bfloat16"), None, 3, 128,
          "default", 1),
@@ -82,8 +83,8 @@ def cases(large=False):
              3, 384, "default", 1),
             ("DeblurGANv2-Inception@768 serving", FPNInception(), None, 3, 768,
              "default", 1),
-            ("DeblurGANv2-MobileNet@2048 serving", FPNMobileNet(), None, 3, 2048,
-             "default", 1),
+            ("DeblurGANv2-MobileNet@2048 serving", FPNMobileNet(phase_io=True),
+             None, 3, 2048, "default", 1),
         ]
     return rows
 
@@ -148,6 +149,10 @@ def flops_estimate(model, in_ch, size, batch):
     more work than the sequential recurrence — MaIR rows are therefore an
     upper-bound flop count (MFU slightly optimistic).
     """
+    if getattr(model, "phase_io", False):
+        # count the logical model's flops (the packed path is numerically
+        # the same network; its dense packed kernels would overcount)
+        model = type(model)()
     key = (type(model).__name__, in_ch, size, batch)
     if key in _flops_cache:
         return _flops_cache[key]
@@ -187,12 +192,20 @@ def bench_case(model, apply_override, in_ch, size, precision, batch, iters=10):
     x = jnp.asarray(
         np.random.RandomState(0).rand(batch, size, size, in_ch), jnp.float32
     )
+    if getattr(model, "phase_io", False):
+        # phase-packed serving path: bench the pack4 layout the engine feeds
+        from tpuir.models.deblurgan.fold import space_to_depth
+
+        x = space_to_depth(x, 4)
     # init at >=128: the Inception-ResNet-v2 trunk reduces 64^2 to an empty
     # spatial axis before the FPN's reflect pads
     init_hw = min(size, 128)
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, init_hw, init_hw, in_ch), jnp.float32)
-    )
+    init_x = jnp.zeros((1, init_hw, init_hw, in_ch), jnp.float32)
+    if getattr(model, "phase_io", False):
+        from tpuir.models.deblurgan.fold import space_to_depth
+
+        init_x = space_to_depth(init_x, 4)
+    params = model.init(jax.random.PRNGKey(0), init_x)
     apply_fn = apply_override or model.apply
 
     @jax.jit

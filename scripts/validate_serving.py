@@ -96,6 +96,7 @@ def random_bundles():
     from tpuir.models.deblurgan import FPNMobileNet
 
     m = FPNMobileNet()
+    mph = FPNMobileNet(phase_io=True)
     p = m.init(jax.random.PRNGKey(2), np.zeros((1, 64, 64, 3), np.float32))
     img3 = (rng.rand(200, 220, 3) * 255).astype(np.uint8)
     out.append((
@@ -103,9 +104,11 @@ def random_bundles():
         InferenceModel(name="g", apply_fn=m.apply, params=p, patch_size=None,
                        patch_overlap=0, pad_block=32, normalize=normalize_signed,
                        postprocess=lambda x: (x + 1) / 2.0),
-        InferenceModel(name="g", apply_fn=m.apply, params=p, patch_size=None,
+        # serving = the phase-packed path, exactly as zoo builds it
+        InferenceModel(name="g", apply_fn=mph.apply, params=p, patch_size=None,
                        patch_overlap=0, pad_block=32, normalize=normalize_signed,
                        postprocess=lambda x: (x + 1) / 2.0,
+                       phase_io=True, phase_factor=4,
                        compute_dtype="float32"),
         img3,
     ))
@@ -261,14 +264,16 @@ def trained_like_bundles():
     # DeblurGANv2: deblurring has no noise synthesis — the near-identity
     # (head-scaled) generator runs the clean image straight through, and the
     # parity/serving PSNR-vs-clean pair bounds the CSV-row delta exactly as
-    # for the denoisers. Serving runs the folded tail, matching
-    # zoo.build_deblurgan(precision='serving').
+    # for the denoisers. Serving runs what zoo.build_deblurgan builds for
+    # precision='serving': the phase-packed path for MobileNet, the plain
+    # model with default matmul precision for Inception.
     from tpuir.models.deblurgan import FPNInception, FPNMobileNet
 
-    for cls, label, key in ((FPNMobileNet, "DeblurGANv2-MobileNet", 15),
-                            (FPNInception, "DeblurGANv2-Inception", 16)):
+    for cls, label, key, phase in (
+            (FPNMobileNet, "DeblurGANv2-MobileNet", 15, True),
+            (FPNInception, "DeblurGANv2-Inception", 16, False)):
         mg = cls()
-        mg_f = cls(fold_tail=True)
+        mg_srv = cls(phase_io=True) if phase else cls()
         p = mg.init(jax.random.PRNGKey(key), np.zeros((1, 160, 160, 3), np.float32))
         p = _scale_head(p, "final")
         out.append((
@@ -277,10 +282,11 @@ def trained_like_bundles():
                            patch_size=None, patch_overlap=0, pad_block=32,
                            normalize=normalize_signed,
                            postprocess=lambda x: (x + 1) / 2.0),
-            InferenceModel(name="g", apply_fn=mg_f.apply, params=p,
+            InferenceModel(name="g", apply_fn=mg_srv.apply, params=p,
                            patch_size=None, patch_overlap=0, pad_block=32,
                            normalize=normalize_signed,
                            postprocess=lambda x: (x + 1) / 2.0,
+                           phase_io=phase, phase_factor=4,
                            compute_dtype="float32"),
             img3, None,
         ))

@@ -103,6 +103,8 @@ def test_fold_s2_entry_kernel_same_and_valid():
 
 
 def test_fpn_mobilenet_phase_io_matches_normal():
+    """The full pack4 serving path (packed entry/f1/f2/lateral0/smooth2/
+    tail) equals the plain forward on shared params."""
     from tpuir.models.deblurgan.fpn_mobilenet import FPNMobileNet
 
     m = FPNMobileNet()
@@ -112,9 +114,10 @@ def test_fpn_mobilenet_phase_io_matches_normal():
     p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3), jnp.float32))
     with jax.default_matmul_precision("float32"):
         want = m.apply(p, x)
-        got4 = mp.apply(p, F.space_to_depth2(x))
-    got = F.depth_to_space2(got4, 3)
-    np.testing.assert_allclose(got, want, atol=2e-4)
+        got16 = mp.apply(p, F.space_to_depth(x, 4))
+    assert got16.shape == (1, 24, 24, 48)
+    got = F.depth_to_space(got16, 4, 3)
+    np.testing.assert_allclose(got, want, atol=5e-4)
 
 
 def test_native_phase_gather_blend_roundtrip():
@@ -126,21 +129,22 @@ def test_native_phase_gather_blend_roundtrip():
     coords = [(0, 0), (13, 21)]
     ph, pw = 32, 32
     ph_pad, pw_pad = 64, 64
-    got = native.extract_patches_phase(img, coords, ph, pw, ph_pad, pw_pad)
-    # reference: plain gather + zero pad + numpy s2d
-    plain = native.extract_patches(img, coords, ph, pw)
-    full = np.zeros((2, ph_pad, pw_pad, 3), np.float32)
-    full[:, :ph, :pw] = plain
-    want = native._np_s2d(full)
-    np.testing.assert_array_equal(got, want)
+    for f in (2, 4):
+        got = native.extract_patches_phase(img, coords, ph, pw, ph_pad, pw_pad, f)
+        # reference: plain gather + zero pad + numpy s2d
+        plain = native.extract_patches(img, coords, ph, pw)
+        full = np.zeros((2, ph_pad, pw_pad, 3), np.float32)
+        full[:, :ph, :pw] = plain
+        want = native._np_s2d(full, f)
+        np.testing.assert_array_equal(got, want)
 
-    # blend: phase preds == d2s'd preds through the plain blend
-    preds4 = rng.rand(2, ph_pad // 2, pw_pad // 2, 12).astype(np.float32)
-    win = gaussian_window(ph, pw, 3)
-    got_b = native.blend_stitch_phase(preds4, coords, win, 45, 53, ph, pw)
-    full_preds = native._np_d2s(preds4, 3)[:, :ph, :pw]
-    want_b = native.blend_stitch(full_preds, coords, win, 45, 53)
-    np.testing.assert_allclose(got_b, want_b, atol=1e-6)
+        # blend: phase preds == d2s'd preds through the plain blend
+        preds4 = rng.rand(2, ph_pad // f, pw_pad // f, f * f * 3).astype(np.float32)
+        win = gaussian_window(ph, pw, 3)
+        got_b = native.blend_stitch_phase(preds4, coords, win, 45, 53, ph, pw, f)
+        full_preds = native._np_d2s(preds4, 3, f)[:, :ph, :pw]
+        want_b = native.blend_stitch(full_preds, coords, win, 45, 53)
+        np.testing.assert_allclose(got_b, want_b, atol=1e-6)
 
 
 def test_engine_phase_io_path_matches_plain():

@@ -91,12 +91,13 @@ class InferenceModel:
     device_pipeline: bool = True  # kept for API compat; both paths identical now
     compute_dtype: Optional[str] = None  # e.g. 'bfloat16' for the serving mode
     # Phase-layout IO (DeblurGANv2 serving): patches move host<->device as
-    # (N, h/2, w/2, 4C) space_to_depth2 tensors, the pad-to-block and the
-    # depth-to-space fold into the native patch gather / blend-stitch
+    # (N, h/f, w/f, f*f*C) space_to_depth(f) tensors, the pad-to-block and
+    # the depth-to-space fold into the native patch gather / blend-stitch
     # (native/tileblend.cpp), and apply_fn consumes/produces phase layout
     # (models/deblurgan/fold.py). Avoids every lane-starved C-channel
     # full-resolution HBM stream on the device.
     phase_io: bool = False
+    phase_factor: int = 4
     extra: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
@@ -238,7 +239,8 @@ def run_model_inference(
         block = model.pad_block or 32
         ph_pad = (ph // block + 1) * block
         pw_pad = (pw // block + 1) * block
-        patches = native.extract_patches_phase(img, coords, ph, pw, ph_pad, pw_pad)
+        patches = native.extract_patches_phase(
+            img, coords, ph, pw, ph_pad, pw_pad, model.phase_factor)
     else:
         patches = native.extract_patches(img, coords, ph, pw)
         if need_degradation and noise_level is not None:
@@ -252,7 +254,8 @@ def run_model_inference(
 
     window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
     if model.phase_io:
-        output_img = native.blend_stitch_phase(preds, coords, window, h, w, ph, pw)
+        output_img = native.blend_stitch_phase(
+            preds, coords, window, h, w, ph, pw, model.phase_factor)
     else:
         output_img = native.blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
     output_img = restore_dtype(output_img, input_img)

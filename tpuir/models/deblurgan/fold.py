@@ -182,6 +182,60 @@ def derive_packed_kernel(lin_fn, cin: int, support: int, blocks: int = None):
     return win[:, ::-1, ::-1, :].transpose(1, 2, 0, 3)
 
 
+def packed_pw_kernel(k: jnp.ndarray, phases: int = 4) -> jnp.ndarray:
+    """(1, 1, Cin, Cout) -> block-diagonal (1, 1, P*Cin, P*Cout).
+
+    A 1x1 conv commutes with space_to_depth: each phase's channels map
+    independently by the same matrix. Exact; the off-diagonal zeros cost
+    MXU flops it has to spare (measured 2.4x faster than the
+    lane-starved direct op at the f1/f2 shapes, explore_packed_conv.py).
+    """
+    cin, cout = k.shape[2], k.shape[3]
+    kp = jnp.zeros((1, 1, phases * cin, phases * cout), k.dtype)
+    for p in range(phases):
+        kp = kp.at[0, 0, p * cin:(p + 1) * cin, p * cout:(p + 1) * cout].set(
+            k[0, 0])
+    return kp
+
+
+def derive_packed_kernel_strided(lin_fn, cin: int, support: int, stride: int,
+                                 blocks: int = None):
+    """Strided generalization of :func:`derive_packed_kernel`.
+
+    ``lin_fn`` maps a (1, S, S, cin) block grid to (1, S/stride, S/stride,
+    cout) with ``y[i] = sum_u k[u] x[stride*i + u - support//2]`` (the
+    alignment of a SAME-padded logical stride conv under uniform folding).
+    Probes ``stride`` adjacent impulse columns to cover every tap parity.
+    Use with ``lax.conv_general_dilated(..., (stride, stride),
+    ((support//2,)*2,)*2)``.
+    """
+    import jax
+
+    s = blocks or (2 * support + 8)
+    s -= s % stride
+    mid = (s // 2) - ((s // 2) % stride)
+    pad = support // 2
+    kern = None
+    for dr in range(stride):
+        for dc in range(stride):
+            mr, mc = mid + dr, mid + dc
+            probes = jnp.zeros((cin, s, s, cin), jnp.float32)
+            probes = probes.at[jnp.arange(cin), mr, mc, jnp.arange(cin)].set(1.0)
+            resp = jax.vmap(lambda p: lin_fn(p[None])[0])(probes)
+            if kern is None:
+                kern = jnp.zeros((support, support, cin, resp.shape[-1]),
+                                 jnp.float32)
+            for i in range(resp.shape[1]):
+                u = mr + pad - stride * i
+                if not 0 <= u < support:
+                    continue
+                for j in range(resp.shape[2]):
+                    v = mc + pad - stride * j
+                    if 0 <= v < support:
+                        kern = kern.at[u, v].set(resp[:, i, j, :])
+    return kern
+
+
 class FinalTail(nn.Module):
     """``clip(tanh(conv3x3(up2(s))) + x, -1, 1)`` with an optional exact fold.
 
@@ -199,11 +253,15 @@ class FinalTail(nn.Module):
 
     out: int
     fold: bool = False
-    phase_io: bool = False  # skip arrives/result leaves in phase layout
+    # phase_io: ``smoothed`` arrives pack2 (N, S, S, 4*cin), ``skip`` is
+    # the pack4 input image (N, S, S, 16*out), and the result stays pack4
+    # — the up2+conv composite becomes one MXU-shaped (3,3,4cin,16out)
+    # conv (measured 12.3 -> 1.2 ms @2048, benchmarks/explore_packed_conv.py)
+    phase_io: bool = False
 
     @nn.compact
     def __call__(self, smoothed: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        cin = smoothed.shape[-1]
+        cin = smoothed.shape[-1] // (4 if self.phase_io else 1)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.out)
         )
@@ -211,10 +269,23 @@ class FinalTail(nn.Module):
         if self.phase_io:
             if skip.shape[1:3] != smoothed.shape[1:3]:
                 raise ValueError(
-                    f"FinalTail(phase_io): phase skip {skip.shape} must match "
-                    f"smoothed {smoothed.shape} spatially")
-            return folded_tail(smoothed, skip, kernel, bias,
-                               phase_skip=True, phase_out=True)
+                    f"FinalTail(phase_io): pack4 skip {skip.shape} must match "
+                    f"pack2 smoothed {smoothed.shape} spatially")
+
+            def tail_map(sp):
+                s = depth_to_space(sp, 2, cin)
+                up = jnp.repeat(jnp.repeat(s, 2, axis=1), 2, axis=2)
+                y = lax.conv_general_dilated(
+                    up, kernel, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return space_to_depth(y, 4)
+
+            pk = derive_packed_kernel(tail_map, 4 * cin, 3)
+            y16 = lax.conv_general_dilated(
+                smoothed, pk.astype(smoothed.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            b16 = jnp.tile(bias, 16).astype(y16.dtype)
+            return jnp.clip(jnp.tanh(y16 + b16) + skip, -1.0, 1.0)
         if self.fold and skip.shape[1] % 2 == 0 and skip.shape[2] % 2 == 0:
             if (skip.shape[1] != 2 * smoothed.shape[1]
                     or skip.shape[2] != 2 * smoothed.shape[2]):

@@ -16,7 +16,14 @@ import numpy as np
 
 from jax import lax
 
-from .fold import FinalTail, fold_s2_entry_kernel
+from .fold import (
+    FinalTail,
+    depth_to_space,
+    derive_packed_kernel,
+    derive_packed_kernel_strided,
+    packed_pw_kernel,
+    space_to_depth,
+)
 from .norms import TrainNorm, upsample_nearest
 
 # MobileNetV2 inverted-residual settings rows (t, c, n, s) expanded to the
@@ -46,26 +53,82 @@ class _Conv3x3Param(nn.Module):
         )
 
 
+def _conv_same(x, k, stride=1):
+    p = ((k.shape[0] // 2,) * 2, (k.shape[1] // 2,) * 2)
+    return lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride), p,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _Conv1x1Param(nn.Module):
+    """Bare (1,1,Cin,Cout) kernel param mirroring ``nn.Conv(use_bias=False)``."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, self.cout)
+        )
+
+
+class _ConvDWParam(nn.Module):
+    """Bare (3,3,1,C) depthwise kernel param mirroring the grouped nn.Conv."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.ch)
+        )
+
+
+def _packed_dw_kernel(kd, ch, stride):
+    """Pack2 dense equivalent of a SAME-padded depthwise 3x3 conv."""
+
+    def dw(a):
+        return lax.conv_general_dilated(
+            a, kd, (stride, stride), ((1, 1), (1, 1)), feature_group_count=ch,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def m(xp):
+        return space_to_depth(dw(depth_to_space(xp, 2, ch)), 2)
+
+    if stride == 1:
+        return derive_packed_kernel(m, 4 * ch, 3)
+    return derive_packed_kernel_strided(m, 4 * ch, 3, stride)
+
+
 class _ConvBNRelu6(nn.Module):
     out: int
     stride: int
-    phase_in: bool = False  # input is space_to_depth2 of the full-res image
+    # pack4_entry: input is space_to_depth(image, 4) — (N, H/4, W/4, 16*3);
+    # the stride-2 entry conv becomes one stride-1 (3,3,48,4*out) conv
+    # whose output is pack2 of the logical (H/2, W/2, out) feature map
+    # (4.64 -> 0.47 ms @2048, benchmarks/explore_packed_conv.py)
+    pack4_entry: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if self.phase_in:
+        if self.pack4_entry:
             assert self.stride == 2
-            k = _Conv3x3Param(x.shape[-1] // 4, self.out, name="conv")()
-            pk = fold_s2_entry_kernel(k, "same")
-            x = lax.conv_general_dilated(
-                x, pk.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        else:
-            x = nn.Conv(
-                self.out, (3, 3), strides=self.stride, padding=1,
-                use_bias=False, name="conv",
-            )(x)
+            cin = x.shape[-1] // 16
+            k = _Conv3x3Param(cin, self.out, name="conv")()
+
+            def entry_map(xp):
+                xx = depth_to_space(xp, 4, cin)
+                return space_to_depth(_conv_same(xx, k, stride=2), 2)
+
+            pk = derive_packed_kernel(entry_map, x.shape[-1], 3)
+            x = _conv_same(x, pk)
+            x = TrainNorm(self.out, affine=True, phases=4, name="bn")(x)
+            return jnp.clip(nn.relu(x), 0, 6.0)
+        x = nn.Conv(
+            self.out, (3, 3), strides=self.stride, padding=1,
+            use_bias=False, name="conv",
+        )(x)
         x = TrainNorm(self.out, affine=True, name="bn")(x)
         return jnp.clip(nn.relu(x), 0, 6.0)
 
@@ -75,10 +138,33 @@ class _InvertedResidual(nn.Module):
     oup: int
     stride: int
     expand_ratio: int
+    # packed: input/output are pack2 of the logical tensors; pointwise
+    # convs become block-diagonal, the depthwise conv a dense pack2
+    # equivalent, norms reduce over phases. Exact, same params
+    # (benchmarks/explore_packed_conv.py, explore_packed2.py).
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         hidden = round(self.inp * self.expand_ratio)
+        if self.packed:
+            y = x
+            if self.expand_ratio != 1:
+                kpw = _Conv1x1Param(self.inp, hidden, name="pw")()
+                y = _conv_same(y, packed_pw_kernel(kpw))
+                y = TrainNorm(hidden, affine=True, phases=4, name="pw_bn")(y)
+                y = jnp.clip(nn.relu(y), 0, 6.0)
+            kd = _ConvDWParam(hidden, name="dw")()
+            y = _conv_same(y, _packed_dw_kernel(kd, hidden, self.stride),
+                           stride=self.stride)
+            y = TrainNorm(hidden, affine=True, phases=4, name="dw_bn")(y)
+            y = jnp.clip(nn.relu(y), 0, 6.0)
+            kpl = _Conv1x1Param(hidden, self.oup, name="pw_linear")()
+            y = _conv_same(y, packed_pw_kernel(kpl))
+            y = TrainNorm(self.oup, affine=True, phases=4, name="pw_linear_bn")(y)
+            if self.stride == 1 and self.inp == self.oup:
+                return x + y
+            return y
         y = x
         if self.expand_ratio != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False, name="pw")(y)
@@ -107,11 +193,38 @@ class _FPNHead(nn.Module):
         return nn.relu(nn.Conv(self.out, (3, 3), padding=1, use_bias=False, name="block1")(x))
 
 
+class _ConvBiasParam(nn.Module):
+    """Bare kernel+bias params mirroring ``nn.Conv(name=...)`` with bias."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, self.cin, self.cout)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
+
+
 class _ConvINRelu(nn.Module):
     out: int
+    packed: bool = False  # pack2 in/out, same params
 
     @nn.compact
     def __call__(self, x):
+        if self.packed:
+            cin = x.shape[-1] // 4
+            k, b = _ConvBiasParam(cin, self.out, name="conv")()
+
+            def m(sp):
+                return space_to_depth(_conv_same(depth_to_space(sp, 2, cin), k), 2)
+
+            pk = derive_packed_kernel(m, x.shape[-1], 3)
+            x = _conv_same(x, pk) + jnp.tile(b, 4).astype(x.dtype)
+            x = TrainNorm(self.out, affine=False, phases=4, name="norm")(x)
+            return nn.relu(x)
         x = nn.Conv(self.out, (3, 3), padding=1, name="conv")(x)
         x = TrainNorm(self.out, affine=False, name="norm")(x)
         return nn.relu(x)
@@ -125,14 +238,19 @@ class FPNMobileNet(nn.Module):
     # param-compatible with the unfolded tail (opt-in; measured
     # perf-neutral alone — benchmarks/ab_fold_tail.py).
     fold_tail: bool = False
-    # Phase-layout IO: __call__ takes/returns (N, H/2, W/2, 4*3) space-to-
-    # depth2 tensors (host-side relayout in native/tileblend.cpp), so the
-    # device never touches a 3-lane full-resolution tensor — on TPU a
-    # C-channel NHWC array occupies ceil(C/128)*128/C x its logical HBM
-    # bytes, making the C=3 input/output streams the single largest cost
-    # of the @2048 serving forward (benchmarks/probe_lane_layout.py).
-    # Mathematically exact: entry conv and tail are re-folded from the
-    # SAME checkpoint params (fold.py). zoo enables for serving.
+    # Phase-layout serving path: __call__ takes/returns pack4 tensors
+    # (N, H/4, W/4, 16*3) = space_to_depth(image, 4) (host-side relayout
+    # fused into the native patch gather/blend, native/tileblend.cpp).
+    # On TPU, convs whose channel count is far below the 128-lane tile run
+    # at tile-fill efficiency (final conv 32->3 @2048: 12.4 ms at 14.8x
+    # its roofline — benchmarks/micro_mobilenet.py), so serving re-folds
+    # every logical >=1024^2 conv into a phase-packed equivalent with
+    # kernels derived NUMERICALLY from the SAME checkpoint params
+    # (fold.py derive_packed_kernel*): the entry conv, features_1/2, the
+    # lateral0 pointwise, smooth2 (with its upsample absorbed as a
+    # channel tile), and the final up2+conv+tanh+skip tail. Exact by
+    # construction; measured stage wins in benchmarks/explore_packed_conv.py
+    # and explore_packed2.py. zoo enables for precision='serving'.
     phase_io: bool = False
 
     @nn.compact
@@ -142,21 +260,33 @@ class FPNMobileNet(nn.Module):
         # Bottom-up backbone with taps matching the reference enc slices
         # (fpn_mobilenet.py:91-95): enc0=[0:2], enc1=[2:4], enc2=[4:7],
         # enc3=[7:11], enc4=[11:16].
-        h = _ConvBNRelu6(32, 2, phase_in=self.phase_io, name="features_0")(x)
+        phase = self.phase_io
+        h = _ConvBNRelu6(32, 2, pack4_entry=phase, name="features_0")(x)
         taps = {}
         inp = 32
         for i, (t, c, s) in enumerate(_MNV2_FEATURES, start=1):
-            h = _InvertedResidual(inp, c, s, t, name=f"features_{i}")(h)
+            h = _InvertedResidual(inp, c, s, t, packed=phase and i <= 2,
+                                  name=f"features_{i}")(h)
             inp = c
             if i in (1, 3, 6, 10, 15):
                 taps[i] = h
+            if phase and i == 2:
+                # leave the packed region: deeper stages run at logical
+                # <=512^2 where direct convs are near-roofline (the seam
+                # measured 0.025 ms — benchmarks/explore_packed2.py)
+                h = depth_to_space(h, 2, c)
         enc0, enc1, enc2, enc3, enc4 = taps[1], taps[3], taps[6], taps[10], taps[15]
 
         lateral4 = nn.Conv(nfp, (1, 1), use_bias=False, name="lateral4")(enc4)
         lateral3 = nn.Conv(nfp, (1, 1), use_bias=False, name="lateral3")(enc3)
         lateral2 = nn.Conv(nfp, (1, 1), use_bias=False, name="lateral2")(enc2)
         lateral1 = nn.Conv(nfp, (1, 1), use_bias=False, name="lateral1")(enc1)
-        lateral0 = nn.Conv(nfp // 2, (1, 1), use_bias=False, name="lateral0")(enc0)
+        if phase:
+            # enc0 is pack2 of the logical (H/2, W/2, 16) map
+            kl0 = _Conv1x1Param(16, nfp // 2, name="lateral0")()
+            lateral0 = _conv_same(enc0, packed_pw_kernel(kl0))
+        else:
+            lateral0 = nn.Conv(nfp // 2, (1, 1), use_bias=False, name="lateral0")(enc0)
 
         map4 = lateral4
         map3 = _ConvINRelu(nfp, name="td1")(lateral3 + upsample_nearest(map4, 2))
@@ -171,11 +301,18 @@ class FPNMobileNet(nn.Module):
         smoothed = _ConvINRelu(nf, name="smooth")(
             jnp.concatenate([map4, map3, map2, map1], axis=-1)
         )
+        if phase:
+            # nearest-up2 in pack2 layout is a channel tile (each logical
+            # pixel fills all four phases of its block)
+            sm4 = jnp.tile(smoothed, (1, 1, 1, 4)) + lateral0
+            smoothed2 = _ConvINRelu(nf // 2, packed=True, name="smooth2")(sm4)
+            return FinalTail(self.output_ch, phase_io=True,
+                             name="final")(smoothed2, x)
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + lateral0)
 
         return FinalTail(self.output_ch, fold=self.fold_tail,
-                         phase_io=self.phase_io, name="final")(smoothed, x)
+                         name="final")(smoothed, x)
 
 
 # ---------------------------------------------------------------------------

@@ -19,15 +19,35 @@ import jax.numpy as jnp
 
 
 class TrainNorm(nn.Module):
-    """Per-sample spatial normalization over NHWC, optional affine."""
+    """Per-sample spatial normalization over NHWC, optional affine.
+
+    With ``phases > 1`` the input is a space_to_depth phase layout
+    (N, Hb, Wb, phases*features), phase-major channel order: statistics
+    reduce over (H, W, phase) per original channel — numerically the SAME
+    moments as the unpacked tensor (measured perf-neutral,
+    benchmarks/explore_packed2.py), so the packed serving path keeps
+    exact train-mode semantics with unchanged (features,) params.
+    """
 
     features: int
     affine: bool = False
     eps: float = 1e-5
+    phases: int = 1
 
     @nn.compact
     def __call__(self, x):
         x32 = x.astype(jnp.float32)
+        if self.phases > 1:
+            n, h, w, pc = x32.shape
+            x5 = x32.reshape(n, h, w, self.phases, pc // self.phases)
+            mu = jnp.mean(x5, axis=(1, 2, 3), keepdims=True)
+            var = jnp.mean((x5 - mu) ** 2, axis=(1, 2, 3), keepdims=True)
+            y = (x5 - mu) * jax.lax.rsqrt(var + self.eps)
+            if self.affine:
+                weight = self.param("weight", nn.initializers.ones, (self.features,))
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                y = y * weight + bias
+            return y.reshape(x.shape).astype(x.dtype)
         mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.mean((x32 - mu) ** 2, axis=(1, 2), keepdims=True)
         y = (x32 - mu) * jax.lax.rsqrt(var + self.eps)

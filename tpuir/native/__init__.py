@@ -59,10 +59,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     i64p = ctypes.POINTER(i64)
     lib.extract_patches.argtypes = [fp, i64, i64, i64, i64p, i64, i64, i64, fp]
     lib.extract_patches_phase.argtypes = [
-        fp, i64, i64, i64, i64p, i64, i64, i64, i64, i64, fp]
+        fp, i64, i64, i64, i64p, i64, i64, i64, i64, i64, i64, fp]
     lib.blend_accumulate.argtypes = [fp, fp, i64, i64, i64, fp, i64p, i64, i64, i64, fp]
     lib.blend_accumulate_phase.argtypes = [
-        fp, fp, i64, i64, i64, fp, i64p, i64, i64, i64, i64, i64, fp]
+        fp, fp, i64, i64, i64, fp, i64p, i64, i64, i64, i64, i64, i64, fp]
     lib.blend_normalize.argtypes = [fp, fp, i64, ctypes.c_float]
     lib.to_uint8.argtypes = [fp, i64, u8p]
     lib.to_uint16.argtypes = [fp, i64, u16p]
@@ -92,24 +92,24 @@ def extract_patches(img: np.ndarray, coords, ph: int, pw: int) -> np.ndarray:
     return out
 
 
-def _np_s2d(x: np.ndarray) -> np.ndarray:
-    """(n, H, W, c) -> (n, H/2, W/2, 4c), phase order (di, dj, c)."""
-    n, h2, w2, c = x.shape
-    x = x.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 // 2, w2 // 2, 4 * c)
+def _np_s2d(x: np.ndarray, f: int = 2) -> np.ndarray:
+    """(n, H, W, c) -> (n, H/f, W/f, f*f*c), phase order (di, dj, c)."""
+    n, hf, wf, c = x.shape
+    x = x.reshape(n, hf // f, f, wf // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hf // f, wf // f, f * f * c)
 
 
-def _np_d2s(y: np.ndarray, c: int) -> np.ndarray:
-    n, h, w, c4 = y.shape
-    y = y.reshape(n, h, w, 2, 2, c)
-    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, c)
+def _np_d2s(y: np.ndarray, c: int, f: int = 2) -> np.ndarray:
+    n, h, w, _ = y.shape
+    y = y.reshape(n, h, w, f, f, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, f * h, f * w, c)
 
 
 def extract_patches_phase(img: np.ndarray, coords, ph: int, pw: int,
-                          ph_pad: int, pw_pad: int) -> np.ndarray:
-    """Patch gather fused with zero-pad-to-block and space_to_depth2.
+                          ph_pad: int, pw_pad: int, f: int = 2) -> np.ndarray:
+    """Patch gather fused with zero-pad-to-block and space_to_depth(f).
 
-    img (h, w, c) float32 -> (n, ph_pad/2, pw_pad/2, 4c); source region
+    img (h, w, c) float32 -> (n, ph_pad/f, pw_pad/f, f*f*c); source region
     (ph, pw) at each coord, the [ph, ph_pad) / [pw, pw_pad) margin is
     zero (the DeblurGANv2 pad_always_block semantics, moved host-side so
     the device program is pad-free in phase-IO mode).
@@ -122,31 +122,32 @@ def extract_patches_phase(img: np.ndarray, coords, ph: int, pw: int,
         full = np.zeros((n, ph_pad, pw_pad, c), np.float32)
         for i, (hi, wi) in enumerate(coords):
             full[i, :ph, :pw] = img[hi : hi + ph, wi : wi + pw]
-        return _np_s2d(full)
-    out = np.empty((n, ph_pad // 2, pw_pad // 2, 4 * c), np.float32)
+        return _np_s2d(full, f)
+    out = np.empty((n, ph_pad // f, pw_pad // f, f * f * c), np.float32)
     lib.extract_patches_phase(
         _fptr(img), h, w, c,
         coords_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, ph, pw, ph_pad, pw_pad, _fptr(out),
+        n, ph, pw, ph_pad, pw_pad, f, _fptr(out),
     )
     return out
 
 
 def blend_stitch_phase(preds: np.ndarray, coords, window: np.ndarray,
-                       h: int, w: int, ph: int, pw: int) -> np.ndarray:
-    """Phase-layout preds (n, ph_pad/2, pw_pad/2, 4c) -> blended (h, w, c).
+                       h: int, w: int, ph: int, pw: int,
+                       f: int = 2) -> np.ndarray:
+    """Phase preds (n, ph_pad/f, pw_pad/f, f*f*c) -> blended (h, w, c).
 
     The counterpart of blend_stitch for phase-IO models: depth-to-space,
     crop to (ph, pw) and the Gaussian accumulate fuse into one pass.
     """
     lib = get_lib()
-    n, hp2, wp2, c4 = preds.shape
-    c = c4 // 4
+    n, hpf, wpf, cf = preds.shape
+    c = cf // (f * f)
     coords_arr = np.ascontiguousarray(np.asarray(coords, np.int64))
     out = np.zeros((h, w, c), np.float32)
     wmap = np.zeros((h, w, c), np.float32)
     if lib is None:
-        full = _np_d2s(np.ascontiguousarray(preds, np.float32), c)
+        full = _np_d2s(np.ascontiguousarray(preds, np.float32), c, f)
         for (hi, wi), pred in zip(coords, full):
             out[hi : hi + ph, wi : wi + pw] += pred[:ph, :pw] * window
             wmap[hi : hi + ph, wi : wi + pw] += window
@@ -156,7 +157,7 @@ def blend_stitch_phase(preds: np.ndarray, coords, window: np.ndarray,
     lib.blend_accumulate_phase(
         _fptr(out), _fptr(wmap), h, w, c, _fptr(preds),
         coords_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, ph, pw, 2 * hp2, 2 * wp2, _fptr(window),
+        n, ph, pw, f * hpf, f * wpf, f, _fptr(window),
     )
     lib.blend_normalize(_fptr(out), _fptr(wmap), out.size, 1e-8)
     return out

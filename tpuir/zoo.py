@@ -110,25 +110,30 @@ def build_dncnn(weights_dir: str, gray: bool, sigma, precision: str = "parity") 
 def build_deblurgan(weights_dir: str, variant: str, precision: str = "parity") -> InferenceModel:
     from tpuir.models import deblurgan as m
 
-    # Serving mode runs the exact phase-domain fold of the final
-    # up2+conv3x3+tanh+skip tail (models/deblurgan/fold.py) — same params,
-    # ≤1 ulp reassociation; A/B'd on device in benchmarks/ab_fold_tail.py.
-    # The engine's pad-to-32 guarantees the even input sizes the fold needs.
-    fold = precision == "serving"
+    # MobileNet serving runs the phase-packed path: pack4 host<->device
+    # layout (native gather/blend), packed entry/f1/f2/lateral0/smooth2
+    # and the folded tail — every logical >=1024^2 small-C conv becomes an
+    # MXU-shaped packed conv re-derived from the SAME checkpoint params
+    # (models/deblurgan/fpn_mobilenet.py, fold.py). Exact to float noise;
+    # measured on device in benchmarks/ab_phase_io.py. The plain fold_tail
+    # alone measured perf-neutral (ab_fold_tail.py) and stays opt-in.
+    serving = precision == "serving"
     if variant == "Inception":
         sd = _load_sd(
             os.path.join(weights_dir, "DeblurGANv2", "fpn_inception.h5"), key="model"
         )
-        model = m.FPNInception(fold_tail=fold)
+        model = m.FPNInception()
         params = m.convert_inception(sd)
         name = "DeblurGANv2 (Inception)"
+        phase = False
     else:
         sd = _load_sd(
             os.path.join(weights_dir, "DeblurGANv2", "fpn_mobilenet.h5"), key="model"
         )
-        model = m.FPNMobileNet(fold_tail=fold)
+        model = m.FPNMobileNet(phase_io=serving)
         params = m.convert_mobilenet(sd)
         name = "DeblurGANv2 (MobileNet)"
+        phase = serving
     pc = get_patch_config("deblurring", "motion", name)
     return InferenceModel(
         name=name, apply_fn=model.apply, params=params,
@@ -136,6 +141,7 @@ def build_deblurgan(weights_dir: str, variant: str, precision: str = "parity") -
         pad_block=32, normalize=normalize_signed,
         postprocess=lambda x: (x + 1) / 2.0,
         param_count=param_count(params),
+        phase_io=phase, phase_factor=4,
         # InstanceNorm train-mode statistics amplify bf16 input quantization
         # on near-constant channels, so serving keeps f32 activations and
         # only drops the true-f32 matmul pin (convs run as bf16 MXU passes)
