@@ -120,6 +120,20 @@ def test_fpn_mobilenet_phase_io_matches_normal():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
+def test_fpn_inception_packed_tail_matches_normal():
+    from tpuir.models.deblurgan import FPNInception
+
+    m = FPNInception()
+    mp = FPNInception(packed_tail=True)
+    x = jnp.asarray(
+        np.random.RandomState(1).rand(1, 160, 160, 3).astype(np.float32) * 2 - 1)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3), jnp.float32))
+    with jax.default_matmul_precision("float32"):
+        want = m.apply(p, x)
+        got = mp.apply(p, x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_native_phase_gather_blend_roundtrip():
     from tpuir import native
     from tpuir.core.tiling import gaussian_window

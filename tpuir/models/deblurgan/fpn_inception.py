@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .fold import FinalTail
+from .fold import FinalTail, depth_to_space, space_to_depth
 from .inception_resnet_v2 import InceptionTrunk, convert_trunk, _conv_k
 from .norms import TrainNorm, upsample_nearest
 
@@ -52,6 +52,13 @@ class FPNInception(nn.Module):
     num_filters_fpn: int = 256
     # Exact phase-domain fold of the final up2+conv3x3+tanh+skip (fold.py).
     fold_tail: bool = False
+    # Phase-packed tail with in-model relayouts: the 64->3 up2+conv tail
+    # (the generator's worst lane-fill op) becomes one (3,3,256,48) MXU
+    # conv between device-side space_to_depth/depth_to_space. Unlike
+    # MobileNet's full pack4 path, the VALID-padded Inception trunk can't
+    # stay grid-aligned under packing, so only the tail packs. Exact;
+    # A/B'd in benchmarks/ab_inception_tail.py.
+    packed_tail: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -91,6 +98,13 @@ class FPNInception(nn.Module):
         smoothed = upsample_nearest(smoothed, 2)
         smoothed = _ConvINRelu(nf // 2, name="smooth2")(smoothed + map0)
 
+        if (self.packed_tail and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+                and 2 * smoothed.shape[1] == x.shape[1]
+                and 2 * smoothed.shape[2] == x.shape[2]):
+            sp = space_to_depth(smoothed, 2)
+            x16 = space_to_depth(x, 4)
+            y16 = FinalTail(self.output_ch, phase_io=True, name="final")(sp, x16)
+            return depth_to_space(y16, 4, 3)
         return FinalTail(self.output_ch, fold=self.fold_tail, name="final")(smoothed, x)
 
 
