@@ -111,3 +111,27 @@ def test_sharded_uses_all_devices():
     img = (np.random.RandomState(1).rand(96, 96, 1) * 255).astype(np.uint8)
     out, _ = run_model_inference_sharded(model, img, mesh)
     np.testing.assert_array_equal(out, img)
+
+
+def test_sharded_phase_io_matches_single_device():
+    """The pack4 phase-IO serving path shards over dp like any other
+    patch grid (native phase gather -> sharded forward -> phase blend)."""
+    import jax.numpy as jnp
+
+    from tpuir.core.image_io import normalize_signed
+    from tpuir.models.deblurgan.fpn_mobilenet import FPNMobileNet
+
+    mesh = make_mesh({"dp": 8})
+    plain = FPNMobileNet()
+    net = FPNMobileNet(phase_io=True)
+    params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    common = dict(
+        params=params, patch_size=None, patch_overlap=0, pad_block=32,
+        normalize=normalize_signed, postprocess=lambda x: (x + 1) / 2.0,
+    )
+    phase = InferenceModel(name="g", apply_fn=net.apply, phase_io=True, **common)
+    img = (np.random.RandomState(3).rand(45, 53, 3) * 255).astype(np.uint8)
+    want, _ = run_model_inference(phase, img)
+    got, _ = run_model_inference_sharded(phase, img, mesh)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1

@@ -24,7 +24,7 @@ from tpuir.core.degrade import add_noise_batched
 from tpuir.core.engine import InferenceModel, pad_always_block, pad_to_multiple
 from tpuir.core.image_io import restore_dtype
 from tpuir.core.tiling import gaussian_window, tile_indices
-from tpuir.native import blend_stitch
+from tpuir.native import blend_stitch, blend_stitch_phase, extract_patches_phase
 
 
 def run_model_inference_sharded(
@@ -48,9 +48,20 @@ def run_model_inference_sharded(
     ph, pw = min(ps, h), min(ps, w)
     coords = [(hi, wi) for hi in h_idx for wi in w_idx]
 
-    patches = np.stack([img[hi : hi + ps, wi : wi + ps, :] for hi, wi in coords])
-    if need_degradation and noise_level is not None:
-        patches = add_noise_batched(patches, noise_level)
+    if model.phase_io:
+        # pack-f host layout, pad fused into the native gather (engine.py)
+        if need_degradation:
+            raise ValueError("phase_io sharded path has no AWGN support")
+        block = model.pad_block or 32
+        ph_pad = (ph // block + 1) * block
+        pw_pad = (pw // block + 1) * block
+        patches = extract_patches_phase(
+            np.ascontiguousarray(img), coords, ph, pw, ph_pad, pw_pad,
+            model.phase_factor)
+    else:
+        patches = np.stack([img[hi : hi + ps, wi : wi + ps, :] for hi, wi in coords])
+        if need_degradation and noise_level is not None:
+            patches = add_noise_batched(patches, noise_level)
 
     n = patches.shape[0]
     n_dev = mesh.shape.get("dp", 1)
@@ -66,7 +77,15 @@ def run_model_inference_sharded(
         apply_fn = model.apply_fn
         batch_sh = NamedSharding(mesh, P("dp", None, None, None))
 
+        phase_io = model.phase_io
+
         def step(params, x):
+            if phase_io:
+                with jax.default_matmul_precision("float32"):
+                    y = apply_fn(params, x)
+                if postprocess is not None:
+                    y = postprocess(y)
+                return y.astype(jnp.float32)
             hh, ww = x.shape[1], x.shape[2]
             if pad_factor:
                 x = pad_to_multiple(x, pad_factor, mode="reflect")
@@ -86,6 +105,10 @@ def run_model_inference_sharded(
     preds = np.asarray(step(model.params, x_dev))[:n]
 
     window = gaussian_window(ps, ps, out_ch)[:ph, :pw]
-    out = blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
+    if model.phase_io:
+        out = blend_stitch_phase(preds, coords, window, h, w, ph, pw,
+                                 model.phase_factor)
+    else:
+        out = blend_stitch(preds[:, :, :, :out_ch], coords, window, h, w)
     out = restore_dtype(out, input_img)
     return out, (time.time() - start) * 1000.0
