@@ -1,16 +1,24 @@
 """Analytic VPU/HBM/MXU roofline for DeblurGANv2 serving on one v5e.
 
 VERDICT r4 item 1: BASELINE.md's flop-only "SoL 475 Mpix/s" is meaningless
-for a depthwise-dominated backbone, so this walks the FPN-MobileNet (and
-FPN-Inception) serving forward op by op at the harness shape and prices
-every op against THREE measured ceilings:
+for a depthwise-dominated backbone, so this walks the FPN-MobileNet
+serving forward op by op at the harness shape and prices every op against
+THREE measured ceilings:
 
   * HBM     — 700 GB/s sustained (micro_mobilenet.py's roofline base),
-              with the lane-padding factor XLA:TPU pays for NHWC arrays:
-              f32 tiles are (8 sublanes, 128 lanes) on the last two dims,
-              so a C-channel tensor occupies ceil(C/128)*128/C x its
-              logical bytes (measured: probe_lane_layout.py — a 3-channel
-              2048^2 elementwise pass runs ~42x its logical roofline).
+              with a lane-fill factor ceil(C/128)*128/C for C-channel
+              NHWC operands: f32 tiles are (8 sublanes, 128 lanes).
+              EMPIRICAL CALIBRATION (probe_lane_layout.py +
+              micro_mobilenet.py, run on device in round 5): the factor
+              is paid by CONVS over small-C operands (final conv 32->3:
+              measured 12.4 ms ~= 14.8x logical roofline; pw/dw convs at
+              C=16..96: 4-5x), while pure ELEMENTWISE passes do NOT pay
+              it (tanh+skip+clip over (2048^2,3): 0.04 ms). The 'padded'
+              floor below therefore models conv-bound stages well and
+              over-prices the few standalone elementwise ops — it is an
+              upper bound on the padded-layout regime, and the shipped
+              phase-packed path (fpn_mobilenet.py phase_io; measured
+              32.3 ms @2048) lands between the two floors as expected.
   * MXU     — measured bf16 matmul peak (micro_vpu.json, 8192^3).
   * VPU     — measured f32 fma issue rate (micro_vpu.json); depthwise
               3x3 convs are 9 fma/elem of VPU work, NOT MXU matmuls.
@@ -19,10 +27,12 @@ Per-op floor = max(hbm, mxu, vpu); model floor = sum over ops (the units
 overlap across ops but not within one op's dependent chain — standard
 roofline accounting). Two HBM variants are reported:
 
-  * padded — what any implementation pays while tensors live in NHWC
-             lane-padded HBM layouts (today's XLA execution);
-  * ideal  — logical bytes only (a perfect relayout/fusion, e.g. phase-
-             packed IO (fold.py) or fully fused VMEM-resident stages).
+  * padded — every operand priced at lane-fill inflation (the
+             small-C-conv regime the plain path lives in);
+  * ideal  — logical bytes only: the floor a perfect layout reaches,
+             and the regime the A100 runs in natively (NCHW tensors
+             never pay lane fill — which is exactly why the derived
+             A100-device 256 Mpix/s ~= the ideal floor here).
 
 Writes benchmarks/roofline_mobilenet.json. Host-only: no TPU needed.
 Reference architecture: /root/reference/src/deblurganv2/models/
