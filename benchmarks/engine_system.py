@@ -111,11 +111,13 @@ def build_cases():
     ))
 
     # --- DeblurGANv2 Inception (GoPro-shaped), patch 768/128
+    # (init at >=160: the VALID-padded trunk collapses 64^2 before the
+    # FPN's reflect pads)
     m = FPNInception()
     cases.append((
         "DeblurGANv2-Inception @720x1280", "DeblurGANv2-Inception@768",
         InferenceModel(name="DeblurGANv2 (Inception)", apply_fn=m.apply,
-                       params=_init(m, 3), patch_size=768, patch_overlap=128,
+                       params=_init(m, 3, 160), patch_size=768, patch_overlap=128,
                        pad_block=32, normalize=normalize_signed,
                        postprocess=lambda x: (x + 1) / 2.0,
                        compute_dtype="float32"),
