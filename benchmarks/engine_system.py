@@ -114,9 +114,10 @@ def build_cases():
     # (init at >=160: the VALID-padded trunk collapses 64^2 before the
     # FPN's reflect pads)
     m = FPNInception()
+    m_srv = FPNInception(packed_tail=True)
     cases.append((
         "DeblurGANv2-Inception @720x1280", "DeblurGANv2-Inception@768",
-        InferenceModel(name="DeblurGANv2 (Inception)", apply_fn=m.apply,
+        InferenceModel(name="DeblurGANv2 (Inception)", apply_fn=m_srv.apply,
                        params=_init(m, 3, 160), patch_size=768, patch_overlap=128,
                        pad_block=32, normalize=normalize_signed,
                        postprocess=lambda x: (x + 1) / 2.0,

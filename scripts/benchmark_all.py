@@ -81,8 +81,8 @@ def cases(large=False):
              "default", 1),
             ("MaIRUNet@384 serving", MaIRUNet(scan_io_dtype="bfloat16"), None,
              3, 384, "default", 1),
-            ("DeblurGANv2-Inception@768 serving", FPNInception(), None, 3, 768,
-             "default", 1),
+            ("DeblurGANv2-Inception@768 serving", FPNInception(packed_tail=True),
+             None, 3, 768, "default", 1),
             ("DeblurGANv2-MobileNet@2048 serving", FPNMobileNet(phase_io=True),
              None, 3, 2048, "default", 1),
         ]

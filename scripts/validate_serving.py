@@ -273,7 +273,7 @@ def trained_like_bundles():
             (FPNMobileNet, "DeblurGANv2-MobileNet", 15, True),
             (FPNInception, "DeblurGANv2-Inception", 16, False)):
         mg = cls()
-        mg_srv = cls(phase_io=True) if phase else cls()
+        mg_srv = cls(phase_io=True) if phase else cls(packed_tail=True)
         p = mg.init(jax.random.PRNGKey(key), np.zeros((1, 160, 160, 3), np.float32))
         p = _scale_head(p, "final")
         out.append((

@@ -122,7 +122,10 @@ def build_deblurgan(weights_dir: str, variant: str, precision: str = "parity") -
         sd = _load_sd(
             os.path.join(weights_dir, "DeblurGANv2", "fpn_inception.h5"), key="model"
         )
-        model = m.FPNInception()
+        # Inception's VALID-padded trunk can't stay grid-aligned under
+        # packing, so serving packs only the tail (11.3 -> 10.1 ms @768,
+        # benchmarks/ab_inception_tail.py; exact to 5e-6)
+        model = m.FPNInception(packed_tail=serving)
         params = m.convert_inception(sd)
         name = "DeblurGANv2 (Inception)"
         phase = False
