@@ -96,3 +96,36 @@ def test_missing_weights_filenotfound(tmp_path):
             "denoising", "gaussian", "DnCNN", gray=True, sigma=25,
             weights_dir=str(tmp_path),
         )
+
+
+def test_deblurgan_serving_precision_routes_phase_path(tmp_path):
+    """zoo precision='serving' builds the phase-packed MobileNet engine
+    bundle (phase_io pack4) and its output matches the parity path."""
+    import functools
+
+    from tests import oracle
+    from tests.test_fpn_mobilenet import load_reference_fpn_mobilenet
+
+    mod = load_reference_fpn_mobilenet()
+    oracle.seed_torch(0)
+    nl = functools.partial(
+        torch.nn.InstanceNorm2d, affine=False, track_running_stats=True
+    )
+    ref = mod.FPNMobileNet(norm_layer=nl, pretrained=False).train(True)
+    d = tmp_path / "weights" / "DeblurGANv2"
+    d.mkdir(parents=True)
+    torch.save(
+        {"model": {f"module.{k}": v for k, v in ref.state_dict().items()}},
+        d / "fpn_mobilenet.h5",
+    )
+    wd = str(tmp_path / "weights")
+    par = zoo.get_model_instance("deblurring", "motion", "DeblurGANv2 (MobileNet)",
+                                 weights_dir=wd, precision="parity")
+    srv = zoo.get_model_instance("deblurring", "motion", "DeblurGANv2 (MobileNet)",
+                                 weights_dir=wd, precision="serving")
+    assert not par.phase_io and srv.phase_io and srv.phase_factor == 4
+    img = (np.random.RandomState(7).rand(45, 53, 3) * 255).astype(np.uint8)
+    out_p, _ = run_model_inference(par, img)
+    out_s, _ = run_model_inference(srv, img)
+    diff = np.abs(out_p.astype(int) - out_s.astype(int))
+    assert diff.max() <= 1, diff.max()
